@@ -1,0 +1,98 @@
+"""Dense design matrix.
+
+Equivalent of the reference's DenseDesignMatrix (reference:
+bayesbridge/design_matrix/dense_matrix.py:7-72): centering is applied and
+the intercept column materialized up front, after which every product is a
+single jnp matmul that XLA tiles onto the MXU.
+
+Registered as a JAX pytree so instances can be closed over / passed into
+jitted step functions with the data resident in HBM.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .abstract import AbstractDesignMatrix
+from ..utils.dtypes import default_float
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseDesignMatrix(AbstractDesignMatrix):
+
+    def __init__(self, X, center_predictor=False, add_intercept=True,
+                 copy_array=False, dtype=None, _skip_preprocess=False):
+        super().__init__()
+        self.intercept_added = add_intercept
+        self.centered = center_predictor
+        if _skip_preprocess:
+            self.X = X  # pytree unflatten path: already processed
+            return
+        dtype = dtype or default_float()
+        X = np.array(np.asarray(X), dtype=dtype, copy=True)
+        X = self.remove_intercept_indicator(X)
+        if center_predictor:
+            X = X - X.mean(axis=0, keepdims=True)
+        if add_intercept:
+            X = np.hstack((np.ones((X.shape[0], 1), dtype=dtype), X))
+        self.X = jnp.asarray(X)
+
+    # -- pytree protocol ------------------------------------------------ #
+
+    def tree_flatten(self):
+        aux = (self.intercept_added, self.centered)
+        return (self.X,), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls(children[0], center_predictor=aux[1], add_intercept=aux[0],
+                  _skip_preprocess=True)
+        return obj
+
+    # -- interface ------------------------------------------------------ #
+
+    @property
+    def shape(self):
+        return tuple(self.X.shape)
+
+    @property
+    def is_sparse(self):
+        return False
+
+    def dot(self, v):
+        memo = self._check_memo(v)
+        if memo is not None:
+            return memo
+        result = self.X @ jnp.asarray(v, self.X.dtype)
+        self._store_memo(v, result)
+        self.dot_count += 1
+        return result
+
+    def Tdot(self, v):
+        self.Tdot_count += 1
+        return self.X.T @ jnp.asarray(v, self.X.dtype)
+
+    def compute_fisher_info(self, weight, diag_only=False):
+        weight = jnp.asarray(weight, self.X.dtype)
+        if diag_only:
+            return jnp.sum(weight[:, None] * self.X ** 2, axis=0)
+        return self.X.T @ (weight[:, None] * self.X)
+
+    def compute_transposed_fisher_info(self, weight, include_intrcpt=False):
+        """X diag(weight) X' where `weight` runs over predictors (the
+        intercept weight first when include_intrcpt). The reference leaves
+        this unimplemented for dense designs (dense_matrix.py:60-65);
+        provided here for parity with the sparse class."""
+        weight = jnp.asarray(weight, self.X.dtype)
+        X_main = self.X[:, 1:] if self.intercept_added else self.X
+        weight_main = weight[1:] if include_intrcpt else weight
+        result = (X_main * weight_main[None, :]) @ X_main.T
+        if include_intrcpt:
+            result = result + weight[0]
+        return result
+
+    def toarray(self):
+        return np.asarray(self.X)
+
+    def extract_matrix(self, order=None):
+        return self.X

@@ -1,0 +1,221 @@
+"""Sparse design matrix in a TPU-friendly dual-ELL layout.
+
+Re-designs the reference's CSR + MKL class (reference:
+bayesbridge/design_matrix/sparse_matrix.py:19-196) for XLA:
+
+* The matrix is stored TWICE in padded ELL form — once by rows (for
+  ``X @ v``) and once by columns (for ``X' @ u``). Each product is then a
+  static-shaped gather + row reduction with **no scatter**: scatters
+  serialize on TPU vector hardware, gathers vectorize. This is the moral
+  equivalent of keeping both CSR and CSC, trading 2x memory for
+  bandwidth-bound matvecs in both directions.
+* Centering is never materialized: a ``column_offset`` vector is carried
+  and applied as a rank-1 correction, exactly like the reference
+  (sparse_matrix.py:45-48, 77-81, 110-114).
+* The intercept column is implicit (sparse_matrix.py:77-81, 110-114).
+* ``compute_fisher_info`` supports ``diag_only`` directly on the ELL
+  layout; the full p-by-p Fisher matrix (needed only by the Cholesky
+  sampler, which the auto-selector picks for small/medium problems)
+  is computed from a lazily cached dense copy on the MXU.
+
+Instances are JAX pytrees; all device arrays live in HBM.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sps
+
+from .abstract import AbstractDesignMatrix
+from .ell import dual_ell_from_scipy
+from ..native import sparsekit
+from ..utils.dtypes import default_float
+
+_DENSE_FISHER_MAX_ELEMS = 5e7  # lazy-densify guard for the Cholesky path
+
+
+@jax.tree_util.register_pytree_node_class
+class SparseDesignMatrix(AbstractDesignMatrix):
+
+    def __init__(self, X, center_predictor=False, add_intercept=True,
+                 copy_array=False, dtype=None, _parts=None):
+        super().__init__()
+        self.intercept_added = add_intercept
+        self.centered = center_predictor
+        self._dense_cache = None
+        if _parts is not None:  # pytree unflatten path
+            (self.row_idx, self.row_val, self.col_idx, self.col_val,
+             self.column_offset) = _parts
+            self._shape_main = (self.row_idx.shape[0], self.col_idx.shape[0])
+            self._nnz = None
+            return
+
+        if not sps.issparse(X):
+            raise ValueError("SparseDesignMatrix expects a scipy sparse "
+                             "matrix; use DenseDesignMatrix otherwise.")
+        dtype = dtype or default_float()
+        X = self.remove_intercept_indicator(X.tocsr())
+        X = X.tocsr()
+        self._shape_main = X.shape
+        self._nnz = X.nnz
+
+        if center_predictor:
+            offsets = sparsekit.try_col_means(
+                X.indptr, X.indices, X.data.astype(np.float64),
+                X.shape[0], X.shape[1],
+            )
+            if offsets is None:
+                offsets = np.squeeze(np.asarray(X.mean(axis=0)))
+        else:
+            offsets = np.zeros(X.shape[1])
+        self.column_offset = jnp.asarray(offsets, dtype)
+
+        (row_idx, row_val), (col_idx, col_val) = \
+            dual_ell_from_scipy(X, np.dtype(dtype))
+        self.row_idx = jnp.asarray(row_idx)
+        self.row_val = jnp.asarray(row_val)
+        self.col_idx = jnp.asarray(col_idx)
+        self.col_val = jnp.asarray(col_val)
+
+    # -- pytree protocol ------------------------------------------------ #
+
+    def tree_flatten(self):
+        children = (self.row_idx, self.row_val, self.col_idx, self.col_val,
+                    self.column_offset)
+        aux = (self.intercept_added, self.centered)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(None, center_predictor=aux[1], add_intercept=aux[0],
+                   _parts=children)
+
+    # -- shape / metadata ------------------------------------------------ #
+
+    @property
+    def shape(self):
+        n, p = self._shape_main
+        return n, p + int(self.intercept_added)
+
+    @property
+    def is_sparse(self):
+        return True
+
+    @property
+    def nnz(self):
+        """nnz of the main (stored) part, mirroring the reference's use for
+        cost models only (sparse_matrix.py:60-66)."""
+        if self._nnz is None:
+            self._nnz = int(jnp.sum(self.row_val != 0))
+        return self._nnz
+
+    @property
+    def dtype(self):
+        return self.row_val.dtype
+
+    # -- core products --------------------------------------------------- #
+
+    def main_dot(self, v_main):
+        """(X_main - 1 column_offset') @ v_main via row-ELL gather."""
+        gathered = jnp.take(v_main, self.row_idx, axis=0)
+        result = jnp.sum(self.row_val * gathered, axis=1)
+        return result - self.column_offset @ v_main
+
+    def main_Tdot(self, u):
+        """(X_main - 1 column_offset')' @ u via col-ELL gather."""
+        gathered = jnp.take(u, self.col_idx, axis=0)
+        result = jnp.sum(self.col_val * gathered, axis=1)
+        return result - jnp.sum(u) * self.column_offset
+
+    def dot(self, v):
+        memo = self._check_memo(v)
+        if memo is not None:
+            return memo
+        v = jnp.asarray(v, self.dtype)
+        if self.intercept_added:
+            result = self.main_dot(v[1:]) + v[0]
+        else:
+            result = self.main_dot(v)
+        self._store_memo(v, result)
+        self.dot_count += 1
+        return result
+
+    def Tdot(self, u):
+        u = jnp.asarray(u, self.dtype)
+        result = self.main_Tdot(u)
+        if self.intercept_added:
+            result = jnp.concatenate((jnp.sum(u)[None], result))
+        self.Tdot_count += 1
+        return result
+
+    # -- Fisher information ---------------------------------------------- #
+
+    def compute_fisher_diag(self, weight):
+        """diag(X' W X) with centering/intercept corrections applied as in
+        sparse_matrix.py:164-177, but evaluated on the col-ELL layout."""
+        weight = jnp.asarray(weight, self.dtype)
+        w_gather = jnp.take(weight, self.col_idx, axis=0)
+        diag = jnp.sum(self.col_val ** 2 * w_gather, axis=1)
+        if self.centered:
+            weighted_col_sum = jnp.sum(self.col_val * w_gather, axis=1)
+            diag = diag - 2.0 * self.column_offset * weighted_col_sum
+            diag = diag + jnp.sum(weight) * self.column_offset ** 2
+        if self.intercept_added:
+            diag = jnp.concatenate((jnp.sum(weight)[None], diag))
+        return diag
+
+    def compute_fisher_info(self, weight, diag_only=False):
+        if diag_only:
+            return self.compute_fisher_diag(weight)
+        X = self._materialize_dense()
+        weight = jnp.asarray(weight, self.dtype)
+        return X.T @ (weight[:, None] * X)
+
+    def compute_transposed_fisher_info(self, weight, include_intrcpt=False):
+        """X diag(weight) X' over predictors (sparse_matrix.py:182-196)."""
+        weight = jnp.asarray(weight, self.dtype)
+        weight_main = weight[1:] if include_intrcpt else weight
+        X_main = self._materialize_dense(main_only=True)
+        Xc = X_main - self.column_offset[None, :] if self.centered else X_main
+        result = (Xc * weight_main[None, :]) @ Xc.T
+        if include_intrcpt:
+            result = result + weight[0]
+        return result
+
+    # -- densification ---------------------------------------------------- #
+
+    def _materialize_dense(self, main_only=False):
+        """Lazily build the dense design (centered, with intercept unless
+        `main_only`). Used only on Cholesky-sized problems; guarded."""
+        n, p_main = self._shape_main
+        if n * p_main > _DENSE_FISHER_MAX_ELEMS:
+            raise MemoryError(
+                "Refusing to densify a {:d} x {:d} sparse design for the "
+                "dense Fisher-information path; use the CG sampler.".format(
+                    n, p_main)
+            )
+        if main_only:
+            return self._densify_main()
+        if self._dense_cache is None:
+            X = self._densify_main()
+            if self.centered:
+                X = X - self.column_offset[None, :]
+            if self.intercept_added:
+                X = jnp.concatenate(
+                    (jnp.ones((n, 1), self.dtype), X), axis=1)
+            self._dense_cache = X
+        return self._dense_cache
+
+    def _densify_main(self):
+        n, p_main = self._shape_main
+        zeros = jnp.zeros((n, p_main), self.dtype)
+        rows = jnp.broadcast_to(
+            jnp.arange(n)[:, None], self.row_idx.shape)
+        # Padded slots write value 0 at column 0: harmless under "add".
+        return zeros.at[rows, self.row_idx].add(self.row_val)
+
+    def toarray(self):
+        return np.asarray(self._materialize_dense())
+
+    def extract_matrix(self, order=None):
+        return self._materialize_dense()

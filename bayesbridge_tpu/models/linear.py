@@ -1,0 +1,43 @@
+"""Gaussian linear regression model.
+
+Reference behavior: bayesbridge/model/linear_model.py:6-48.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from .abstract import AbstractModel
+
+
+class LinearModel(AbstractModel):
+
+    name = 'linear'
+
+    def __init__(self, y, design):
+        self.y = jnp.asarray(y)
+        self.design = design
+
+    def compute_loglik_and_gradient(self, beta, obs_prec, loglik_only=False):
+        resid = self.y - self.design.dot(beta)
+        loglik = 0.5 * self.y.size * jnp.log(obs_prec) \
+            - 0.5 * obs_prec * jnp.sum(resid ** 2)
+        grad = None if loglik_only else obs_prec * self.design.Tdot(resid)
+        return loglik, grad
+
+    def compute_hessian(self, beta, obs_prec):
+        return -obs_prec * self.design.compute_fisher_info(
+            jnp.ones(self.n_obs))
+
+    def get_hessian_matvec_operator(self, beta, obs_prec):
+        return lambda v: -obs_prec * self.design.Tdot(self.design.dot(v))
+
+    def calc_intercept_mle(self):
+        return float(jnp.mean(self.y))
+
+    @staticmethod
+    def simulate_outcome(X, beta, noise_sd, seed=None):
+        """Host-side data simulation; X only needs `.dot`."""
+        if seed is not None:
+            np.random.seed(seed)
+        return np.asarray(X.dot(beta)) \
+            + noise_sd * np.random.randn(X.shape[0])

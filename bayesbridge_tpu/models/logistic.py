@@ -1,0 +1,115 @@
+"""Binomial logistic regression model.
+
+Reference behavior: bayesbridge/model/logistic_model.py:6-121. The
+log-likelihood uses the numerically stable ``logaddexp`` form; the
+Polya-Gamma conditional mean feeds the observation-precision
+initialization (logistic_model.py:79-87).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+from warnings import warn
+
+from .abstract import AbstractModel
+from ..utils.dtypes import default_float
+
+
+class LogisticModel(AbstractModel):
+
+    name = 'logit'
+
+    def __init__(self, n_success, n_trial, design):
+        self._validate(n_success, n_trial, design)
+        if n_trial is None:
+            n_trial = np.ones(len(n_success))
+            warn("The numbers of trials were not specified. The binary "
+                 "outcome is assumed.")
+        # Keep a host copy of the trial counts: they are *static* data that
+        # parametrize the Polya-Gamma lane expansion at trace time.
+        self.n_trial_np = np.asarray(n_trial, dtype=np.int64)
+        self.n_trial = jnp.asarray(n_trial, default_float())
+        self.n_success = jnp.asarray(n_success, self.n_trial.dtype)
+        self.design = design
+
+    @staticmethod
+    def _validate(n_success, n_trial, design):
+        if n_trial is None:
+            if np.max(n_success) > 1:
+                raise ValueError(
+                    "If not binary, the number of trials must be specified.")
+            if len(n_success) != design.shape[0]:
+                raise ValueError(
+                    "Incompatible sizes of the outcome and design matrix.")
+            return
+        if not (len(n_trial) == len(n_success) == design.shape[0]):
+            raise ValueError(
+                "Incompatible sizes of the outcome vectors and design "
+                "matrix.")
+        if np.any(np.asarray(n_trial) <= 0):
+            raise ValueError("Number of trials must be strictly positive.")
+        if np.any(np.asarray(n_success) > np.asarray(n_trial)):
+            raise ValueError(
+                "Number of successes cannot be larger than that of trials.")
+
+    def compute_loglik_and_gradient(self, beta, loglik_only=False):
+        logit_prob = self.design.dot(beta)
+        loglik = jnp.sum(
+            self.n_success * logit_prob
+            - self.n_trial * jnp.logaddexp(0., logit_prob)
+        )
+        if loglik_only:
+            return loglik, None
+        predicted_prob = jax_sigmoid(logit_prob)
+        grad = self.design.Tdot(
+            self.n_success - self.n_trial * predicted_prob)
+        return loglik, grad
+
+    def compute_hessian(self, beta):
+        prob = jax_sigmoid(self.design.dot(beta))
+        weight = self.n_trial * prob * (1 - prob)
+        return -self.design.compute_fisher_info(weight)
+
+    def get_hessian_matvec_operator(self, beta):
+        prob = jax_sigmoid(self.design.dot(beta))
+        weight = self.n_trial * prob * (1 - prob)
+        return lambda v: -self.design.Tdot(weight * self.design.dot(v))
+
+    def calc_intercept_mle(self):
+        p_mle = float(jnp.mean(self.n_success) / jnp.mean(self.n_trial))
+        return float(np.log(p_mle / (1 - p_mle)))
+
+    @staticmethod
+    def compute_polya_gamma_mean(shape, tilt):
+        """E[PG(shape, tilt)] = shape * tanh(tilt/2) / (2 tilt), with the
+        small-tilt limit shape/4 (logistic_model.py:79-87)."""
+        min_magnitude = 1e-5
+        shape = jnp.asarray(shape, jnp.result_type(float))
+        tilt = jnp.asarray(tilt)
+        safe_tilt = jnp.where(jnp.abs(tilt) > min_magnitude, tilt, 1.0)
+        mean = 0.5 * shape * jnp.tanh(safe_tilt / 2.0) / safe_tilt
+        return jnp.where(jnp.abs(tilt) > min_magnitude, mean, shape / 4.0)
+
+    @staticmethod
+    def convert_to_probability_scale(logit_prob, truncate=False):
+        if truncate:
+            # Guarantees 0 < prob < 1 in double precision
+            # (logistic_model.py:95-103).
+            logit_prob = jnp.clip(logit_prob, -709.0, 36.7)
+        return 1.0 / (1.0 + jnp.exp(-logit_prob))
+
+    @staticmethod
+    def compute_predicted_prob(X, beta, truncate=False):
+        return LogisticModel.convert_to_probability_scale(
+            jnp.asarray(X.dot(beta)), truncate)
+
+    @staticmethod
+    def simulate_outcome(n_trial, X, beta, seed=None):
+        """Host-side data simulation; X only needs `.dot`."""
+        prob = np.asarray(LogisticModel.compute_predicted_prob(X, beta))
+        if seed is not None:
+            np.random.seed(seed)
+        return np.random.binomial(np.asarray(n_trial).astype(np.int64), prob)
+
+
+def jax_sigmoid(x):
+    return 1.0 / (1.0 + jnp.exp(-x))

@@ -1,0 +1,135 @@
+"""Design-matrix unit tests.
+
+Ports the semantics of the reference's design tests (reference:
+tests/test_design_matrix.py:12-85 and
+tests/design_matrix/test_sparse_matrix.py:27-57): implicit intercept and
+centering must agree with the explicitly constructed ndarray, Fisher
+information products must equal X'WX / XWX', and constant columns must be
+scrubbed.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from bayesbridge_tpu.design import DenseDesignMatrix, SparseDesignMatrix
+from bayesbridge_tpu.utils.simulate_data import simulate_design
+
+ATOL = RTOL = 1e-6
+
+
+def center_and_add_intercept(X):
+    X = X - X.mean(axis=0, keepdims=True)
+    return np.hstack((np.ones((X.shape[0], 1)), X))
+
+
+@pytest.fixture
+def sparse_design_pair():
+    X = simulate_design(100, 10, binary_frac=.5, format_='sparse', seed=0)
+    design = SparseDesignMatrix(X, center_predictor=True, add_intercept=True)
+    X_np = center_and_add_intercept(X.toarray())
+    return design, X_np
+
+
+def test_sparse_intercept_and_centering(sparse_design_pair):
+    design, X_np = sparse_design_pair
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal(X_np.shape[1])
+    w = rng.standard_normal(X_np.shape[0])
+    np.testing.assert_allclose(design.dot(v), X_np @ v, atol=ATOL, rtol=RTOL)
+    np.testing.assert_allclose(design.Tdot(w), X_np.T @ w, atol=ATOL,
+                               rtol=RTOL)
+
+
+def test_sparse_fisher_info():
+    X = simulate_design(5, 3, binary_frac=.5, format_='sparse', seed=2)
+    design = SparseDesignMatrix(X, center_predictor=True, add_intercept=True)
+    X_np = center_and_add_intercept(X.toarray())
+    weight = np.random.default_rng(3).exponential(size=5)
+    expected = X_np.T @ (weight[:, None] * X_np)
+    np.testing.assert_allclose(
+        design.compute_fisher_info(weight), expected, atol=ATOL, rtol=RTOL)
+    np.testing.assert_allclose(
+        design.compute_fisher_info(weight, diag_only=True),
+        np.diag(expected), atol=ATOL, rtol=RTOL)
+
+
+@pytest.mark.parametrize("centered", [False, True])
+@pytest.mark.parametrize("include_intrcpt", [False, True])
+def test_sparse_transposed_fisher_info(centered, include_intrcpt):
+    """X diag(weight) X' over predictors, with centering corrections
+    (reference: tests/design_matrix/test_sparse_matrix.py:27-57)."""
+    X = simulate_design(6, 4, binary_frac=.5, format_='sparse', seed=4)
+    design = SparseDesignMatrix(
+        X, center_predictor=centered, add_intercept=include_intrcpt)
+    X_main = X.toarray() - (X.toarray().mean(0) if centered else 0.)
+    rng = np.random.default_rng(5)
+    weight = rng.exponential(size=X.shape[1] + int(include_intrcpt))
+    w_main = weight[1:] if include_intrcpt else weight
+    expected = (X_main * w_main[None, :]) @ X_main.T
+    if include_intrcpt:
+        expected = expected + weight[0]
+    np.testing.assert_allclose(
+        design.compute_transposed_fisher_info(weight, include_intrcpt),
+        expected, atol=ATOL, rtol=RTOL)
+
+
+def test_dense_intercept_and_centering():
+    X = simulate_design(100, 10, binary_frac=.5, format_='dense', seed=6)
+    design = DenseDesignMatrix(X, center_predictor=True, add_intercept=True)
+    X_np = center_and_add_intercept(X)
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(X_np.shape[1])
+    w = rng.standard_normal(X_np.shape[0])
+    np.testing.assert_allclose(design.dot(v), X_np @ v, atol=ATOL, rtol=RTOL)
+    np.testing.assert_allclose(design.Tdot(w), X_np.T @ w, atol=ATOL,
+                               rtol=RTOL)
+    expected = X_np.T @ (np.ones(100)[:, None] * X_np)
+    np.testing.assert_allclose(
+        design.compute_fisher_info(np.ones(100)), expected,
+        atol=ATOL, rtol=RTOL)
+
+
+def test_intercept_removal():
+    X = simulate_design(100, 10, binary_frac=.5, format_='sparse', seed=8)
+    X_with_const = sps.hstack([
+        np.ones((100, 1)), X[:, :5], -.5 * np.ones((100, 1)), X[:, 5:]
+    ]).tocsr()
+    with pytest.warns(UserWarning):
+        scrubbed = SparseDesignMatrix.remove_intercept_indicator(X_with_const)
+    np.testing.assert_allclose(X.toarray(), scrubbed.toarray())
+    with pytest.warns(UserWarning):
+        scrubbed_dense = DenseDesignMatrix.remove_intercept_indicator(
+            X_with_const.toarray())
+    np.testing.assert_allclose(X.toarray(), scrubbed_dense)
+
+
+def test_sparse_matches_dense_products():
+    """Dual-ELL layout must reproduce CSR semantics exactly."""
+    X = simulate_design(50, 20, binary_frac=.8, format_='sparse', seed=9)
+    sparse = SparseDesignMatrix(X, center_predictor=False,
+                                add_intercept=False)
+    rng = np.random.default_rng(10)
+    v = rng.standard_normal(20)
+    w = rng.standard_normal(50)
+    np.testing.assert_allclose(sparse.dot(v), X @ v, atol=ATOL, rtol=RTOL)
+    np.testing.assert_allclose(sparse.Tdot(w), X.T @ w, atol=ATOL, rtol=RTOL)
+    np.testing.assert_allclose(sparse.toarray(), X.toarray())
+
+
+def test_matvec_counters_and_memoization():
+    X = simulate_design(30, 10, binary_frac=.5, format_='sparse', seed=11)
+    design = SparseDesignMatrix(X, add_intercept=False)
+    v = np.random.default_rng(12).standard_normal(10)
+    design.dot(v)
+    design.Tdot(np.ones(30))
+    assert design.get_dot_count() == (1, 1)
+    assert design.n_matvec == 2
+    design.reset_matvec_count()
+    assert design.n_matvec == 0
+    design.memoize_dot(True)
+    r1 = design.dot(v)
+    r2 = design.dot(v)  # memoized: no new evaluation
+    assert design.dot_count == 1
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    design.memoize_dot(False)

@@ -1,0 +1,137 @@
+"""Distributional tests for the vectorized RNG kernels.
+
+The reference validated its Cython kernels against R packages
+(copula::retstable, BayesLogit) via histogram overlap on large samples
+(reference: bayesbridge/random/*/test_*.ipynb). Streams cannot match
+across PRNGs, so we test against closed-form moments instead:
+
+* exponentially tilted stable with Laplace transform exp(-s^alpha):
+  E[X] = alpha * t^(alpha-1),  Var[X] = alpha*(1-alpha) * t^(alpha-2);
+* Polya-Gamma PG(b, z): E = b*tanh(z/2)/(2z),
+  Var = b*(tanh(z/2) - (z/2)/cosh(z/2)^2) / (2 z^3).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayesbridge_tpu.random import (
+    sample_tilted_stable, sample_polya_gamma, sample_unit_shape_polya_gamma,
+    BasicRandom,
+)
+
+
+def tilted_stable_moments(alpha, tilt):
+    mean = alpha * tilt ** (alpha - 1.0)
+    var = alpha * (1.0 - alpha) * tilt ** (alpha - 2.0)
+    return mean, var
+
+
+def polya_gamma_moments(b, z):
+    if z == 0:
+        return b / 4.0, b / 24.0
+    mean = b * np.tanh(z / 2.0) / (2.0 * z)
+    var = b * (np.tanh(z / 2.0) - (z / 2.0) / np.cosh(z / 2.0) ** 2) \
+        / (2.0 * z ** 3)
+    return mean, var
+
+
+@pytest.mark.parametrize("alpha,tilt", [
+    (0.25, 1.0),    # divide-and-conquer branch (tilt^alpha < 2)
+    (0.25, 40.0),   # double-rejection branch (tilt^alpha > 2)
+    (0.125, 2.0),   # very small exponent, DC branch
+    (0.7, 1.0),     # DC branch
+    (0.7, 8.0),     # DR branch
+    (0.5, 3.9),     # near the crossover
+    (0.5, 4.1),     # just past the crossover
+])
+def test_tilted_stable_moments(alpha, tilt):
+    n = 200_000
+    key = jax.random.key(hash((alpha, tilt)) % (2 ** 31))
+    draws = np.asarray(sample_tilted_stable(
+        key, alpha, jnp.full(n, tilt)
+    ))
+    assert np.all(np.isfinite(draws)) and np.all(draws > 0)
+    mean, var = tilted_stable_moments(alpha, tilt)
+    se_mean = np.sqrt(var / n)
+    assert abs(draws.mean() - mean) < 6 * se_mean, \
+        f"mean {draws.mean():.5g} vs expected {mean:.5g}"
+    # Sample variance has sampling error driven by the 4th moment; use a
+    # loose 10% relative tolerance on top of a 6-sigma-ish allowance.
+    assert abs(draws.var() - var) < 0.1 * var + 6 * var / np.sqrt(n)
+
+
+def test_tilted_stable_forced_methods_agree():
+    """Both algorithms target the same distribution."""
+    n = 200_000
+    alpha, tilt = 0.4, 2.5
+    k1, k2 = jax.random.split(jax.random.key(0))
+    dc = np.asarray(sample_tilted_stable(
+        k1, alpha, jnp.full(n, tilt), method='divide-conquer'))
+    dr = np.asarray(sample_tilted_stable(
+        k2, alpha, jnp.full(n, tilt), method='double-rejection'))
+    mean, var = tilted_stable_moments(alpha, tilt)
+    for draws in (dc, dr):
+        assert abs(draws.mean() - mean) < 6 * np.sqrt(var / n)
+    # Kolmogorov-Smirnov between the two samplers.
+    from scipy.stats import ks_2samp
+    stat, pval = ks_2samp(dc, dr)
+    assert pval > 1e-4, f"KS p-value {pval}"
+
+
+def test_tilted_stable_heterogeneous_tilts():
+    """Lane-wise method selection: mixed branches in one call."""
+    alpha = 0.25
+    tilts = np.concatenate([
+        np.full(50_000, 0.5), np.full(50_000, 100.0)
+    ])
+    draws = np.asarray(sample_tilted_stable(
+        jax.random.key(3), alpha, jnp.asarray(tilts)))
+    assert np.all(np.isfinite(draws)) and np.all(draws > 0)
+    for tilt in (0.5, 100.0):
+        sel = draws[tilts == tilt]
+        mean, var = tilted_stable_moments(alpha, tilt)
+        assert abs(sel.mean() - mean) < 6 * np.sqrt(var / len(sel))
+
+
+@pytest.mark.parametrize("z", [0.05, 0.5, 1.0, 4.0, 12.0])
+def test_unit_polya_gamma_moments(z):
+    n = 200_000
+    draws = np.asarray(sample_unit_shape_polya_gamma(
+        jax.random.key(int(z * 100)), jnp.full(n, z)))
+    assert np.all(np.isfinite(draws)) and np.all(draws > 0)
+    mean, var = polya_gamma_moments(1.0, z)
+    assert abs(draws.mean() - mean) < 6 * np.sqrt(var / n)
+    assert abs(draws.var() - var) < 0.1 * var + 6 * var / np.sqrt(n)
+
+
+def test_polya_gamma_integer_shapes():
+    """PG(b, z) must equal the sum of b unit draws in distribution."""
+    n = 50_000
+    shapes = np.tile(np.array([1, 2, 5], dtype=np.int64), n)
+    z = 1.3
+    draws = np.asarray(sample_polya_gamma(
+        jax.random.key(7), shapes, jnp.full(shapes.size, z)))
+    for b in (1, 2, 5):
+        sel = draws[shapes == b]
+        mean, var = polya_gamma_moments(b, z)
+        assert abs(sel.mean() - mean) < 6 * np.sqrt(var / len(sel))
+
+
+def test_polya_gamma_negative_tilt_symmetry():
+    """PG depends on |tilt| only (polya_gamma.pyx:102)."""
+    n = 100_000
+    kp = jax.random.key(11)
+    pos = np.asarray(sample_unit_shape_polya_gamma(kp, jnp.full(n, 2.0)))
+    neg = np.asarray(sample_unit_shape_polya_gamma(kp, jnp.full(n, -2.0)))
+    np.testing.assert_allclose(pos, neg)
+
+
+def test_basic_random_state_roundtrip():
+    rg = BasicRandom(seed=0)
+    state = rg.get_state()
+    x1 = rg.normal(10)
+    rg.set_state(state)
+    x2 = rg.normal(10)
+    np.testing.assert_array_equal(x1, x2)
