@@ -194,16 +194,20 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 "dense Fisher-information path; use the CG sampler.".format(
                     n, p_main)
             )
-        if main_only:
-            return self._densify_main()
-        if self._dense_cache is None:
-            X = self._densify_main()
-            if self.centered:
-                X = X - self.column_offset[None, :]
-            if self.intercept_added:
-                X = jnp.concatenate(
-                    (jnp.ones((n, 1), self.dtype), X), axis=1)
-            self._dense_cache = X
+        # The densification depends only on the (concrete) stored layout,
+        # so it is forced to compile-time evaluation: the cache then holds
+        # a concrete array that is safe to reuse across traces.
+        with jax.ensure_compile_time_eval():
+            if main_only:
+                return self._densify_main()
+            if self._dense_cache is None:
+                X = self._densify_main()
+                if self.centered:
+                    X = X - self.column_offset[None, :]
+                if self.intercept_added:
+                    X = jnp.concatenate(
+                        (jnp.ones((n, 1), self.dtype), X), axis=1)
+                self._dense_cache = X
         return self._dense_cache
 
     def _densify_main(self):

@@ -129,7 +129,7 @@ class MarkovChainManager:
         for key in params_to_save:
             if key not in scan_outputs:
                 continue
-            arr = np.asarray(scan_outputs[key])
+            arr = np.array(scan_outputs[key])  # writable host copy
             if arr.ndim > 1:
                 arr = np.moveaxis(arr, 0, -1)
             samples[key] = arr

@@ -30,6 +30,7 @@ from .random.polya_gamma import sample_polya_gamma
 from .random.tilted_stable import sample_tilted_stable
 from .ops.reg_coef import sample_gaussian_posterior
 from .ops.summarizer import summarizer_init
+from .ops.stepsize import target_log10_hamiltonian_error
 from .ops import hmc_update
 
 
@@ -63,6 +64,8 @@ class GibbsStepConfig:
             np.isfinite(self.prior_sd_for_unshrunk)]
         self.neg_log_prior_sd_sum = -float(np.sum(np.log(finite_sd))) \
             if len(finite_sd) else 0.0
+        # HMC stepsize-adapter target (reg_coef_sampler.py:38-39).
+        self._hmc_target_log10_error = target_log10_hamiltonian_error(0.95)
 
 
 # --------------------------------------------------------------------- #
@@ -201,6 +204,9 @@ def gibbs_step(cfg, carry):
     carry = {**carry, 'key': key}
 
     coef, carry, info = update_regress_coef(cfg, k_coef, carry)
+    if 'cg_converged' in info:
+        carry = {**carry, 'n_cg_unconverged': carry['n_cg_unconverged']
+                 + (~info.pop('cg_converged')).astype(jnp.int32)}
     obs_prec = update_obs_precision(cfg, k_obs, coef)
     gscale, gscale_clamped = update_global_scale(
         cfg, k_gscale, carry['gscale'], coef[cfg.n_unshrunk:])
@@ -241,6 +247,8 @@ def init_carry(cfg, key, coef, obs_prec, gscale, lscale, summ=None):
     }
     if cfg.coef_sampler_type in ('hmc', 'nuts'):
         carry.update(hmc_update.init_hmc_carry(cfg))
+    if cfg.coef_sampler_type == 'cg':
+        carry['n_cg_unconverged'] = jnp.zeros((), jnp.int32)
     return carry
 
 
