@@ -1,0 +1,128 @@
+"""Golden-output regression tests.
+
+Mirrors the reference's end-to-end regression suite (reference:
+tests/regression_tests/test_gibb.py:11-117): five model/sampler combos at
+fixed seeds on simulated n=100, p=50 data, with the restart combo
+asserting that gibbs_resume + merge equals an uninterrupted run. Goldens
+are OUR OWN (the reference's PCG64 draw streams cannot be reproduced on
+jax.random/threefry; SURVEY.md §4); statistical agreement with the
+reference algorithm is covered by tests/test_statistical_parity.py.
+
+Regenerate goldens: python -m tests.regression_tests.test_gibbs update
+"""
+
+import math
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from bayesbridge_tpu import (
+    BayesBridge, RegressionModel, RegressionCoefPrior,
+)
+from bayesbridge_tpu.models import LinearModel, LogisticModel, CoxModel
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'saved_outputs')
+
+TEST_COMBOS = [
+    ('linear', 'cg', 'dense', False),
+    ('logit', 'cholesky', 'dense', False),
+    ('logit', 'cholesky', 'dense', True),  # restart in the middle
+    ('logit', 'cg', 'sparse', False),
+    ('cox', 'hmc', 'sparse', False),
+    ('cox', 'nuts', 'sparse', False),
+]
+
+
+def simulate_data(model, matrix_format):
+    import scipy.sparse as sps
+    np.random.seed(1)
+    n, p = 100, 50
+    sigma_true = 2.0
+    beta_true = np.zeros(p)
+    beta_true[:4] = 1.0
+    beta_true[4:15] = 2.0 ** -np.linspace(0.0, 5, 11)
+    X = np.random.randn(n, p)
+
+    if model == 'linear':
+        outcome = LinearModel.simulate_outcome(X, beta_true, sigma_true)
+    elif model == 'logit':
+        n_trial = np.ones(n, dtype=np.int32)
+        n_success = LogisticModel.simulate_outcome(n_trial, X, beta_true)
+        outcome = (n_success, n_trial)
+    elif model == 'cox':
+        outcome = CoxModel.simulate_outcome(X, beta_true)
+    else:
+        raise NotImplementedError()
+
+    if matrix_format == 'sparse':
+        X = sps.csr_matrix(X)
+    return outcome, X
+
+
+def run_gibbs(model_type, sampling_method, matrix_format,
+              restart_in_middle=False):
+    n_burnin, n_post_burnin, thin = 0, 10, 1
+    outcome, X = simulate_data(model_type, matrix_format)
+    prior = RegressionCoefPrior(
+        sd_for_intercept=2., regularizing_slab_size=1.,
+        bridge_exponent=0.25)
+    model = RegressionModel(outcome, X, model_type)
+    bridge = BayesBridge(model, prior)
+
+    if restart_in_middle:
+        n_total = n_post_burnin
+        n_post_burnin = math.ceil(n_total / 2)
+
+    init = {'global_scale': 0.1, 'local_scale': np.ones(X.shape[1])}
+    samples, mcmc_info = bridge.gibbs(
+        n_burnin + n_post_burnin, n_burnin, init=init, thin=thin,
+        coef_sampler_type=sampling_method, seed=0, params_to_save='all')
+
+    if restart_in_middle:
+        reinit_bridge = BayesBridge(model, prior)
+        samples, mcmc_info = reinit_bridge.gibbs_resume(
+            mcmc_info, n_total - n_post_burnin, merge=True,
+            prev_samples=samples)
+    return samples
+
+
+def golden_path(sampling_method, model):
+    return os.path.join(DATA_DIR,
+                        '{}_{}_samples.npy'.format(model, sampling_method))
+
+
+@pytest.mark.parametrize(
+    "model,sampling_method,matrix_format,restart", TEST_COMBOS)
+def test_gibbs_golden(model, sampling_method, matrix_format, restart):
+    samples = run_gibbs(model, sampling_method, matrix_format, restart)
+    golden = np.load(golden_path(sampling_method, model))
+    last_draw = samples['coef'][:, -1]
+    if restart:
+        # The restart combo shares its golden with the uninterrupted run:
+        # resume must be exact within this library.
+        np.testing.assert_allclose(last_draw, golden, rtol=1e-10,
+                                   atol=1e-12)
+    else:
+        np.testing.assert_allclose(last_draw, golden, rtol=1e-3, atol=1e-5)
+
+
+def update_goldens():
+    os.makedirs(DATA_DIR, exist_ok=True)
+    for model, sampling_method, matrix_format, restart in TEST_COMBOS:
+        if restart:
+            continue  # shares the uninterrupted golden
+        samples = run_gibbs(model, sampling_method, matrix_format)
+        np.save(golden_path(sampling_method, model),
+                samples['coef'][:, -1])
+        print('saved', golden_path(sampling_method, model))
+
+
+if __name__ == '__main__':
+    if sys.argv[-1] == 'update':
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+        jax.config.update('jax_enable_x64', True)
+        update_goldens()
