@@ -141,7 +141,7 @@ class BayesBridge:
             _status_state['n_iter'] = n_iter
 
         carry, outputs = step_mod.run_chain(
-            cfg, carry, n_burnin, n_sample, thin, n_remainder,
+            cfg, self.model, carry, n_burnin, n_sample, thin, n_remainder,
             save_keys=tuple(params_to_save),
             status_interval=status_interval)
         jax.block_until_ready(outputs)

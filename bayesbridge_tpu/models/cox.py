@@ -19,6 +19,7 @@ whole likelihood, gradient, and Hessian-matvec inside jit.
 
 from warnings import warn
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sps
@@ -32,9 +33,27 @@ def _sum_over_start_end(arr, start_index, end_index):
     return csum[end_index + 1] - csum[start_index]
 
 
+@jax.tree_util.register_pytree_node_class
 class CoxModel(AbstractModel):
 
     name = 'cox'
+
+    def tree_flatten(self):
+        children = (self.risk_set_start_index, self.risk_set_end_index,
+                    self.n_appearance_in_risk_set, self.design)
+        aux = (self.n_event, self.event_time.tobytes(),
+               self.censoring_time.tobytes())
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.risk_set_start_index, obj.risk_set_end_index,
+         obj.n_appearance_in_risk_set, obj.design) = children
+        obj.n_event = aux[0]
+        obj.event_time = np.frombuffer(aux[1], dtype=np.float64)
+        obj.censoring_time = np.frombuffer(aux[2], dtype=np.float64)
+        return obj
 
     def __init__(self, event_time, censoring_time, design):
         event_time = np.asarray(event_time, dtype=np.float64)

@@ -3,19 +3,32 @@
 Reference behavior: bayesbridge/model/linear_model.py:6-48.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .abstract import AbstractModel
 
 
+@jax.tree_util.register_pytree_node_class
 class LinearModel(AbstractModel):
+    """Registered as a pytree so the (large) outcome/design arrays enter
+    jitted functions as arguments rather than baked-in constants."""
 
     name = 'linear'
 
     def __init__(self, y, design):
         self.y = jnp.asarray(y)
         self.design = design
+
+    def tree_flatten(self):
+        return (self.y, self.design), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.y, obj.design = children
+        return obj
 
     def compute_loglik_and_gradient(self, beta, obs_prec, loglik_only=False):
         resid = self.y - self.design.dot(beta)

@@ -6,6 +6,7 @@ Polya-Gamma conditional mean feeds the observation-precision
 initialization (logistic_model.py:79-87).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from warnings import warn
@@ -14,7 +15,10 @@ from .abstract import AbstractModel
 from ..utils.dtypes import default_float
 
 
+@jax.tree_util.register_pytree_node_class
 class LogisticModel(AbstractModel):
+    """Registered as a pytree so the (large) outcome/design arrays enter
+    jitted functions as arguments rather than baked-in constants."""
 
     name = 'logit'
 
@@ -24,12 +28,26 @@ class LogisticModel(AbstractModel):
             n_trial = np.ones(len(n_success))
             warn("The numbers of trials were not specified. The binary "
                  "outcome is assumed.")
-        # Keep a host copy of the trial counts: they are *static* data that
-        # parametrize the Polya-Gamma lane expansion at trace time.
+        # Host copy of the trial counts: static data that parametrizes the
+        # Polya-Gamma lane expansion (repeat/segment-sum) at trace time.
         self.n_trial_np = np.asarray(n_trial, dtype=np.int64)
+        self.all_unit_trials = bool(np.all(self.n_trial_np == 1))
         self.n_trial = jnp.asarray(n_trial, default_float())
         self.n_success = jnp.asarray(n_success, self.n_trial.dtype)
         self.design = design
+
+    def tree_flatten(self):
+        children = (self.n_success, self.n_trial, self.design)
+        aux = (self.n_trial_np.tobytes(), self.all_unit_trials)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.n_success, obj.n_trial, obj.design = children
+        obj.n_trial_np = np.frombuffer(aux[0], dtype=np.int64)
+        obj.all_unit_trials = aux[1]
+        return obj
 
     @staticmethod
     def _validate(n_success, n_trial, design):

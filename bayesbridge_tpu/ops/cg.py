@@ -66,8 +66,12 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
     r0 = b - matvec(x0)
 
     # Termination mirrors scipy.sparse.linalg.cg with tol = atol/||b||:
-    # stop when ||r|| <= atol (cg_sampler.py:74-80).
-    atol = jnp.asarray(atol, dtype)
+    # stop when ||r|| <= atol (cg_sampler.py:74-80). In float32 the
+    # achievable residual is floored at ~50 eps * ||b||, so the threshold
+    # is raised accordingly to avoid grinding to maxiter.
+    atol = jnp.maximum(
+        jnp.asarray(atol, dtype),
+        50.0 * jnp.finfo(dtype).eps * jnp.linalg.norm(b))
 
     def cond(state):
         x, r, p, rs, n_iter = state

@@ -111,9 +111,8 @@ def _stabilize_estimate(carry, estimate):
     return carry, result
 
 
-def sample_coef_by_hmc(cfg, key, carry):
+def sample_coef_by_hmc(cfg, model, key, carry):
     """One HMC/NUTS coefficient transition; returns (coef, carry, info)."""
-    model = cfg.model
     dtype = cfg.dtype
     method = cfg.coef_sampler_type
     coef, gscale, lscale = carry['coef'], carry['gscale'], carry['lscale']

@@ -53,10 +53,16 @@ def shard_design(design, mesh, axis_name=SHARD_AXIS):
         design.X = _put(design.X, mesh, P(axis_name, None))
         return design
     if isinstance(design, SparseDesignMatrix):
-        design.row_idx = _put(design.row_idx, mesh, P(axis_name, None))
-        design.row_val = _put(design.row_val, mesh, P(axis_name, None))
-        design.col_idx = _put(design.col_idx, mesh, P(axis_name, None))
-        design.col_val = _put(design.col_val, mesh, P(axis_name, None))
+        if design.backend == 'hybrid':
+            # Dense blocks shard along the observation (row) axis; the
+            # X'u partial products then reduce over ICI.
+            design.X_exact = _put(design.X_exact, mesh, P(axis_name, None))
+            design.X_float = _put(design.X_float, mesh, P(axis_name, None))
+        else:
+            design.row_idx = _put(design.row_idx, mesh, P(axis_name, None))
+            design.row_val = _put(design.row_val, mesh, P(axis_name, None))
+            design.col_idx = _put(design.col_idx, mesh, P(axis_name, None))
+            design.col_val = _put(design.col_val, mesh, P(axis_name, None))
         design.column_offset = _put(design.column_offset, mesh, row)
         return design
     raise TypeError(type(design))

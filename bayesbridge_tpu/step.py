@@ -39,7 +39,11 @@ class GibbsStepConfig:
 
     def __init__(self, model, prior, options, n_unshrunk,
                  prior_sd_for_unshrunk, dtype):
-        self.model = model
+        # Static metadata only: the model itself (with its large arrays)
+        # is passed into the jitted chain as a pytree ARGUMENT, never
+        # closed over, so device data stays out of the compiled program.
+        self.model_name = model.name
+        self.n_obs = model.n_obs
         self.bridge_exp = float(prior.bridge_exp)
         self.slab_size = float(prior.slab_size)
         self.gscale_prior_shape = float(prior.param['gscale_neg_power']['shape'])
@@ -72,9 +76,8 @@ class GibbsStepConfig:
 # Conditional updates                                                   #
 # --------------------------------------------------------------------- #
 
-def update_obs_precision(cfg, key, coef):
+def update_obs_precision(cfg, model, key, coef):
     """obs_prec | coef (bayesbridge.py:397-410)."""
-    model = cfg.model
     if model.name == 'linear':
         resid = model.y - model.design.dot(coef)
         rate = jnp.sum(resid ** 2) / 2.0
@@ -137,11 +140,10 @@ def update_local_scale(cfg, key, gscale, coef_shrunk):
         jnp.sum(overflow).astype(jnp.int32)
 
 
-def compute_posterior_logprob(cfg, coef, gscale, obs_prec):
+def compute_posterior_logprob(cfg, model, coef, gscale, obs_prec):
     """Joint log density of (coef, gscale | rest), matching the
     reference's bookkeeping including its Gamma-prior-on-phi term written
     in terms of gscale (bayesbridge.py:480-511)."""
-    model = cfg.model
     if model.name == 'linear':
         loglik, _ = model.compute_loglik_and_gradient(
             coef, obs_prec, loglik_only=True)
@@ -169,14 +171,13 @@ def compute_posterior_logprob(cfg, coef, gscale, obs_prec):
     return loglik + prior_logp
 
 
-def update_regress_coef(cfg, key, carry):
+def update_regress_coef(cfg, model, key, carry):
     """coef | obs_prec, gscale, lscale (bayesbridge.py:372-395)."""
-    model = cfg.model
     if cfg.coef_sampler_type in ('cholesky', 'cg'):
         if model.name == 'linear':
             y_gauss = model.y
             obs_prec_vec = carry['obs_prec'] \
-                * jnp.ones(model.n_obs, cfg.dtype)
+                * jnp.ones(cfg.n_obs, cfg.dtype)
         else:  # logit: Polya-Gamma collapse to a Gaussian observation
             obs_prec_vec = carry['obs_prec']
             y_gauss = (model.n_success - model.n_trial / 2.0) / obs_prec_vec
@@ -189,7 +190,7 @@ def update_regress_coef(cfg, key, carry):
         return coef, {**carry, 'summ': summ}, info
 
     if cfg.coef_sampler_type in ('hmc', 'nuts'):
-        return hmc_update.sample_coef_by_hmc(cfg, key, carry)
+        return hmc_update.sample_coef_by_hmc(cfg, model, key, carry)
 
     raise NotImplementedError(cfg.coef_sampler_type)
 
@@ -198,21 +199,21 @@ def update_regress_coef(cfg, key, carry):
 # The step                                                               #
 # --------------------------------------------------------------------- #
 
-def gibbs_step(cfg, carry):
+def gibbs_step(cfg, model, carry):
     key, k_coef, k_obs, k_gscale, k_lscale = jax.random.split(
         carry['key'], 5)
     carry = {**carry, 'key': key}
 
-    coef, carry, info = update_regress_coef(cfg, k_coef, carry)
+    coef, carry, info = update_regress_coef(cfg, model, k_coef, carry)
     if 'cg_converged' in info:
         carry = {**carry, 'n_cg_unconverged': carry['n_cg_unconverged']
                  + (~info.pop('cg_converged')).astype(jnp.int32)}
-    obs_prec = update_obs_precision(cfg, k_obs, coef)
+    obs_prec = update_obs_precision(cfg, model, k_obs, coef)
     gscale, gscale_clamped = update_global_scale(
         cfg, k_gscale, carry['gscale'], coef[cfg.n_unshrunk:])
     lscale, n_under, n_over = update_local_scale(
         cfg, k_lscale, gscale, coef[cfg.n_unshrunk:])
-    logp = compute_posterior_logprob(cfg, coef, gscale, obs_prec)
+    logp = compute_posterior_logprob(cfg, model, coef, gscale, obs_prec)
 
     carry = {
         **carry,
@@ -259,38 +260,58 @@ def init_carry(cfg, key, coef, obs_prec, gscale, lscale, summ=None):
 @partial(jax.jit,
          static_argnames=('cfg', 'n_burnin', 'n_sample', 'thin',
                           'n_remainder', 'save_keys', 'status_interval'))
-def run_chain(cfg, carry, n_burnin, n_sample, thin, n_remainder,
+def run_chain(cfg, model, carry, n_burnin, n_sample, thin, n_remainder,
               save_keys, status_interval=0):
     """Run n_burnin + n_sample*thin + n_remainder Gibbs iterations,
     emitting one output pytree per retained sample (every `thin`-th
     post-burn-in iteration, reference semantics gibbs_util.py:164-199).
 
+    Structure: one scan over "blocks", each block = a fori_loop of
+    unsaved steps followed by one emitting step. The burn-in is folded
+    into the first block and the post-save remainder into a final
+    dropped block, so the (large) step graph appears exactly twice in
+    the compiled program — compile time at big model sizes is dominated
+    by graph size, not trip counts.
+
     `status_interval` > 0 prints a host-side progress line every that
     many iterations via jax.debug.callback."""
+    # Iterations not covered by the save-blocks run in a final block
+    # whose emission is dropped (burn-in-only calls land here too).
+    tail_len = n_remainder + (n_burnin if n_sample == 0 else 0)
+    has_tail = tail_len > 0
+    n_blocks = n_sample + int(has_tail)
+    # Unsaved steps preceding each block's emitting step.
+    plain_counts = np.full(n_blocks, thin - 1, dtype=np.int32)
+    if n_sample > 0:
+        plain_counts[0] += n_burnin
+    if has_tail:
+        plain_counts[-1] = tail_len - 1
+    block_ends = np.cumsum(plain_counts + 1) - 1  # iteration index of save
 
-    def plain_step(carry, it):
-        carry, _ = gibbs_step(cfg, carry)
-        _maybe_status(cfg, it, status_interval)
-        return carry, None
+    def block(carry, xs):
+        n_plain, end_it = xs
 
-    def saving_block(carry, block_idx):
-        start = n_burnin + block_idx * thin
-        carry, _ = lax.scan(
-            plain_step, carry, start + jnp.arange(thin - 1))
-        carry, outputs = gibbs_step(cfg, carry)
-        _maybe_status(cfg, start + thin - 1, status_interval)
+        def plain_body(i, c):
+            c, _ = gibbs_step(cfg, model, c)
+            _maybe_status(cfg, end_it - n_plain + i, status_interval)
+            return c
+
+        carry = lax.fori_loop(0, n_plain, plain_body, carry)
+        carry, outputs = gibbs_step(cfg, model, carry)
+        _maybe_status(cfg, end_it, status_interval)
         outputs = {k: v for k, v in outputs.items()
                    if k in save_keys or k not in
                    ('coef', 'local_scale', 'global_scale', 'obs_prec',
                     'logp')}
         return carry, outputs
 
-    carry, _ = lax.scan(plain_step, carry, jnp.arange(n_burnin))
+    if n_blocks == 0:
+        return carry, {}
     carry, outputs = lax.scan(
-        saving_block, carry, jnp.arange(n_sample))
-    tail_start = n_burnin + n_sample * thin
-    carry, _ = lax.scan(
-        plain_step, carry, tail_start + jnp.arange(n_remainder))
+        block, carry,
+        (jnp.asarray(plain_counts), jnp.asarray(block_ends)))
+    if has_tail:  # drop the final (tail) block's emission
+        outputs = jax.tree_util.tree_map(lambda x: x[:n_sample], outputs)
     return carry, outputs
 
 

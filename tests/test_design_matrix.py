@@ -104,17 +104,57 @@ def test_intercept_removal():
     np.testing.assert_allclose(X.toarray(), scrubbed_dense)
 
 
-def test_sparse_matches_dense_products():
-    """Dual-ELL layout must reproduce CSR semantics exactly."""
+@pytest.mark.parametrize("backend", ['ell', 'hybrid'])
+def test_sparse_matches_dense_products(backend):
+    """Both storage backends must reproduce CSR semantics exactly."""
     X = simulate_design(50, 20, binary_frac=.8, format_='sparse', seed=9)
     sparse = SparseDesignMatrix(X, center_predictor=False,
-                                add_intercept=False)
+                                add_intercept=False, backend=backend)
+    assert sparse.backend == backend
     rng = np.random.default_rng(10)
     v = rng.standard_normal(20)
     w = rng.standard_normal(50)
     np.testing.assert_allclose(sparse.dot(v), X @ v, atol=ATOL, rtol=RTOL)
     np.testing.assert_allclose(sparse.Tdot(w), X.T @ w, atol=ATOL, rtol=RTOL)
     np.testing.assert_allclose(sparse.toarray(), X.toarray())
+
+
+@pytest.mark.parametrize("backend", ['ell', 'hybrid'])
+def test_sparse_backends_centered_products_and_fisher(backend):
+    X = simulate_design(60, 12, binary_frac=.5, format_='sparse', seed=13)
+    design = SparseDesignMatrix(X, center_predictor=True,
+                                add_intercept=True, backend=backend)
+    X_np = center_and_add_intercept(X.toarray())
+    rng = np.random.default_rng(14)
+    v = rng.standard_normal(13)
+    w = rng.standard_normal(60)
+    weight = rng.exponential(size=60)
+    np.testing.assert_allclose(design.dot(v), X_np @ v, atol=ATOL,
+                               rtol=RTOL)
+    np.testing.assert_allclose(design.Tdot(w), X_np.T @ w, atol=ATOL,
+                               rtol=RTOL)
+    np.testing.assert_allclose(
+        design.compute_fisher_info(weight, diag_only=True),
+        np.diag(X_np.T @ (weight[:, None] * X_np)), atol=ATOL, rtol=RTOL)
+
+
+def test_hybrid_splits_bf16_exact_columns():
+    """In float32 mode, binary columns land in the bf16 block and are
+    represented exactly; continuous columns stay float32."""
+    import scipy.sparse as sps
+    rng = np.random.default_rng(15)
+    binary = (rng.uniform(size=(40, 6)) < .3).astype(np.float64)
+    dense = rng.standard_normal((40, 2)) * 1.7
+    X = sps.csr_matrix(np.hstack([binary, dense]))
+    design = SparseDesignMatrix(X, add_intercept=False, backend='hybrid',
+                                dtype=np.float32)
+    assert str(design.X_exact.dtype) == 'bfloat16'
+    assert design.X_exact.shape[1] == 6
+    assert design.X_float.shape[1] == 2
+    v = rng.standard_normal(8).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(design.dot(v)),
+                               X.toarray().astype(np.float32) @ v,
+                               rtol=2e-6, atol=2e-6)
 
 
 def test_matvec_counters_and_memoization():
