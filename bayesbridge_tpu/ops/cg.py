@@ -37,6 +37,17 @@ def choose_preconditioner(prior_prec_sqrt, n_unshrunk, coef_scaled_sd,
     ))
 
 
+def choose_diag_preconditioner(design, obs_prec, prior_prec_sqrt):
+    """Jacobi preconditioner from the full conditional-precision diagonal
+    (cg_sampler.py:140-143): 1/sqrt(prior_prec^2 + diag(X'WX)). More
+    accurate than the prior preconditioner but costs one weighted
+    column-moment pass per draw; exposed for API parity (the Gibbs
+    sampler uses the prior preconditioner, reg_coef_sampler.py:93)."""
+    diag = prior_prec_sqrt ** 2 \
+        + design.compute_fisher_info(weight=obs_prec, diag_only=True)
+    return 1.0 / jnp.sqrt(diag)
+
+
 def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
                        coef_cg_init, precond_scale, maxiter=500, atol=1e-6):
     """One CG-sampled draw.

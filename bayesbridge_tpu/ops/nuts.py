@@ -260,3 +260,55 @@ def generate_next_state(key, f, dt, q0, logp0=None, grad0=None,
         'last_doubling_rejected': out['last_doubling_rejected'],
     }
     return out['sample_q'], info
+
+
+# --------------------------------------------------------------------- #
+# Standalone sampling driver (API parity with nuts.py:23-105)           #
+# --------------------------------------------------------------------- #
+
+def generate_samples(key, f, q0, n_burnin, n_sample, dt_range,
+                     adapt_stepsize=False, target_accept_prob=.9,
+                     final_adaptsize=.05, max_height=10):
+    """Host-driven NUTS loop over the jitted kernel: returns
+    (samples [p, n], info dict). Pass an explicit dt_range (use
+    `stepsize.initialize_stepsize` to search for one)."""
+    import time
+    import numpy as np
+    from .stepsize import HamiltonianBasedStepsizeAdapter
+
+    if np.isscalar(dt_range):
+        dt_range = np.array([dt_range, dt_range])
+
+    adapter = HamiltonianBasedStepsizeAdapter(
+        init_stepsize=1., target_accept_prob=target_accept_prob,
+        reference_iteration=n_burnin, adaptsize_at_reference=final_adaptsize)
+
+    q = jnp.asarray(q0)
+    n_total = n_burnin + n_sample
+    samples = np.zeros((len(q0), n_total))
+    logp_samples = np.zeros(n_total)
+    accept_prob = np.zeros(n_total)
+
+    kernel = jax.jit(
+        lambda key, dt, q: generate_next_state(
+            key, f, dt, q, max_height=max_height))
+    tic = time.time()
+    use_averaged = False
+    rng = np.random.default_rng(0)
+    for i in range(n_total):
+        key, subkey = jax.random.split(key)
+        dt = rng.uniform(dt_range[0], dt_range[1]) \
+            * adapter.get_current_stepsize(use_averaged)
+        q, step_info = kernel(subkey, dt, q)
+        if i < n_burnin and adapt_stepsize:
+            adapter.adapt_stepsize(float(step_info['ave_hamiltonian_error']))
+        elif i == n_burnin - 1:
+            use_averaged = True
+        samples[:, i] = np.asarray(q)
+        logp_samples[i] = float(step_info['logp'])
+        accept_prob[i] = float(step_info['ave_accept_prob'])
+    return samples, {
+        'logp_samples': logp_samples,
+        'accept_prob_samples': accept_prob,
+        'sampling_time': time.time() - tic,
+    }
