@@ -11,14 +11,21 @@ mixes a left-truncated exponential (right piece) and a right-truncated
 inverse-Gaussian (left piece), split at 2/pi, and an alternating-series
 acceptance test truncated at 100 terms (polya_gamma.pyx:26-27).
 
+The reference's nested scalar rejection loops (proposal -> truncated
+inverse-Gaussian -> truncated chi-squared) are FLATTENED into a single
+lane-parallel state machine: each iteration of one ``lax.while_loop``
+advances every unfinished lane by one attempt of whatever stage it is in
+(the truncated chi-squared proposal and both acceptance tests of the
+inverted-chi-squared branch collapse into one joint accept step). Only
+the alternating-series test keeps its own (bounded) inner loop. This
+keeps the compiled graph small and lets fast lanes retire while slow
+lanes keep drawing.
+
 Integer shapes > 1 are handled by expanding each lane into ``shape``
 unit-shape lanes (``jnp.repeat`` with a static total, since trial counts
 are static model data) and summing back with ``segment_sum`` — the
 vectorized equivalent of the reference's nested shape loop
 (polya_gamma.pyx:70-74).
-
-Every rejection loop is lane-parallel and masked, as in
-:mod:`.tilted_stable`.
 """
 
 import functools
@@ -32,110 +39,12 @@ from jax.scipy.special import log_ndtr
 
 THRESHOLD = 2.0 / np.pi  # proposal split point (polya_gamma.pyx:26)
 MAX_SERIES_TERMS = 100   # series truncation (polya_gamma.pyx:27)
-_MAX_REJECTION_ROUNDS = 256
+_MAX_REJECTION_ROUNDS = 512
 
 
 def _uniform(key, shape, dtype):
     tiny = jnp.finfo(dtype).tiny
     return jax.random.uniform(key, shape, dtype, minval=tiny)
-
-
-def _left_trunc_exp(u, scale, trunc):
-    """Inverse-CDF sample of Exp(scale) truncated to (trunc, inf), from a
-    uniform `u` (polya_gamma.pyx:177-178)."""
-    return trunc - scale * jnp.log1p(-u)
-
-
-def _left_trunc_chisq(key, shape, dtype, trunc, max_rounds):
-    """Chi-squared(1) truncated to (trunc, inf) via exponential proposals
-    (polya_gamma.pyx:180-189; Chung 1998)."""
-    def cond(s):
-        key, x, accepted, rounds = s
-        return jnp.logical_and(jnp.any(~accepted), rounds < max_rounds)
-
-    def body(s):
-        key, x, accepted, rounds = s
-        key, k1, k2 = jax.random.split(key, 3)
-        cand = _left_trunc_exp(_uniform(k1, shape, dtype), 2.0, trunc)
-        density_ratio = jnp.sqrt(0.5 * jnp.pi / cand)
-        ok = _uniform(k2, shape, dtype) <= density_ratio
-        take = jnp.logical_and(~accepted, ok)
-        x = jnp.where(take, cand, x)
-        accepted = jnp.logical_or(accepted, take)
-        return key, x, accepted, rounds + 1
-
-    _, x, _, _ = lax.while_loop(
-        cond, body,
-        (key, jnp.full(shape, trunc, dtype), jnp.zeros(shape, bool),
-         jnp.int32(0)),
-    )
-    return x
-
-
-def _unit_shape_invgauss(key, mean, dtype):
-    """Inverse-Gaussian(mean, shape=1) via Michael-Schucany-Haas
-    (polya_gamma.pyx:211-216)."""
-    k_n, k_u = jax.random.split(key)
-    v = jax.random.normal(k_n, mean.shape, dtype) ** 2
-    x = mean + 0.5 * mean * (
-        mean * v - jnp.sqrt(4.0 * mean * v + (mean * v) ** 2)
-    )
-    u = _uniform(k_u, mean.shape, dtype)
-    return jnp.where(u > mean / (mean + x), mean ** 2 / x, x)
-
-
-def _right_trunc_invgauss(key, rate, trunc, max_rounds):
-    """Inverse-Gaussian(1/rate, shape=1) truncated to (0, trunc)
-    (polya_gamma.pyx:192-209). Lane-wise algorithm choice: inverted
-    truncated chi-squared when the mean exceeds `trunc`, plain rejection
-    otherwise. Both masked loops run on the full vector; lanes use the
-    result of their own branch."""
-    dtype = rate.dtype
-    shape = rate.shape
-    mean = 1.0 / rate
-    use_chisq = mean > trunc
-
-    def cond(s):
-        return jnp.logical_and(jnp.any(~s[2]), s[3] < max_rounds)
-
-    # Branch A: X = 1 / LeftTruncChisq(pi/2), accept w.p. exp(-X rate^2/2).
-    # Lanes on branch B are given rate 1 (high acceptance) and discarded.
-    rate_a = jnp.where(use_chisq, rate, jnp.asarray(1.0, dtype))
-
-    def body_a(s):
-        key, x, accepted, rounds = s
-        key, k1, k2 = jax.random.split(key, 3)
-        inv_cand = _left_trunc_chisq(k1, shape, dtype, 0.5 * jnp.pi,
-                                     max_rounds)
-        cand = 1.0 / inv_cand
-        ok = jnp.log(_uniform(k2, shape, dtype)) < -0.5 * cand * rate_a ** 2
-        take = jnp.logical_and(~accepted, ok)
-        x = jnp.where(take, cand, x)
-        return key, x, jnp.logical_or(accepted, take), rounds + 1
-
-    k_a, k_b = jax.random.split(key)
-    _, x_a, _, _ = lax.while_loop(
-        cond, body_a,
-        (k_a, jnp.zeros(shape, dtype), jnp.zeros(shape, bool), jnp.int32(0)),
-    )
-
-    # Branch B: plain rejection, accept while X < trunc. Lanes on branch A
-    # are given a small mean so their (discarded) draws accept quickly.
-    mean_b = jnp.where(use_chisq, jnp.asarray(0.5 * trunc, dtype), mean)
-
-    def body_b(s):
-        key, x, accepted, rounds = s
-        key, k1 = jax.random.split(key)
-        cand = _unit_shape_invgauss(k1, mean_b, dtype)
-        take = jnp.logical_and(~accepted, cand < trunc)
-        x = jnp.where(take, cand, x)
-        return key, x, jnp.logical_or(accepted, take), rounds + 1
-
-    _, x_b, _, _ = lax.while_loop(
-        cond, body_b,
-        (k_b, jnp.zeros(shape, dtype), jnp.zeros(shape, bool), jnp.int32(0)),
-    )
-    return jnp.where(use_chisq, x_a, x_b)
 
 
 def _log_series_term(n, x):
@@ -169,21 +78,18 @@ def _prob_right_piece(tilt, exp_rate):
 
 def _series_acceptance(u, x, zeroth_term, max_terms):
     """Devroye's alternating-series accept test, truncated at `max_terms`
-    (polya_gamma.pyx:150-174). Runs until every lane's partial sums
-    bracket its U."""
+    (polya_gamma.pyx:150-174): odd partial sums lower-bound the density
+    (accept if U <= sum), even ones upper-bound it (reject if U > sum)."""
     dtype = x.dtype
     shape = x.shape
 
-    # state: (partial_sum, n_summed, sign, accepted, determinate)
-    def cond2(s):
+    def cond(s):
         return jnp.logical_and(jnp.any(~s['det']), s['n'] < max_terms)
 
-    def body2(s):
+    def body(s):
         n = s['n']
         term = _series_term(n.astype(dtype), x)
         partial = s['partial'] + s['sign'] * term
-        # sign == -1: odd partial sum is a lower bound -> accept if U <= it
-        # sign == +1: even partial sum is an upper bound -> reject if U > it
         newly_acc = jnp.logical_and(s['sign'] < 0, u <= partial)
         newly_rej = jnp.logical_and(s['sign'] > 0, u > partial)
         hit_cap = n + 1 >= max_terms
@@ -200,7 +106,7 @@ def _series_acceptance(u, x, zeroth_term, max_terms):
                     acc=acc, det=det)
 
     out = lax.while_loop(
-        cond2, body2,
+        cond, body,
         dict(partial=zeroth_term, n=jnp.int32(1),
              sign=jnp.full(shape, -1.0, dtype),
              acc=jnp.zeros(shape, bool), det=jnp.zeros(shape, bool)),
@@ -208,41 +114,110 @@ def _series_acceptance(u, x, zeroth_term, max_terms):
     return out['acc']
 
 
+def _invgauss_attempt(key, rate, dtype):
+    """One joint attempt at an Inverse-Gaussian(1/rate, shape=1) draw
+    truncated to (0, 2/pi) (polya_gamma.pyx:192-216). Branches:
+
+    * mean > threshold: X = 1/E with E ~ chi-sq(1) truncated to
+      (pi/2, inf) via an exponential proposal; the chi-squared
+      acceptance sqrt(pi/(2E)) and the final exp(-X rate^2/2) test are
+      evaluated jointly in one shot (Windle thesis, alg. 3);
+    * mean <= threshold: Michael-Schucany-Haas draw accepted while
+      X < threshold.
+
+    Returns (candidate, accepted) per lane.
+    """
+    shape = rate.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    mean = 1.0 / rate
+    use_chisq = mean > THRESHOLD
+
+    # Branch A: inverted truncated chi-squared, joint acceptance.
+    e = 0.5 * jnp.pi - 2.0 * jnp.log1p(-_uniform(k1, shape, dtype))
+    x_a = 1.0 / e
+    ok_a = jnp.logical_and(
+        _uniform(k2, shape, dtype) <= jnp.sqrt(0.5 * jnp.pi / e),
+        jnp.log(_uniform(k3, shape, dtype)) < -0.5 * x_a * rate ** 2)
+
+    # Branch B: plain inverse-Gaussian rejection.
+    v = jax.random.normal(k4, shape, dtype) ** 2
+    x_b = mean + 0.5 * mean * (
+        mean * v - jnp.sqrt(4.0 * mean * v + (mean * v) ** 2))
+    flip = _uniform(k2, shape, dtype) > mean / (mean + x_b)
+    x_b = jnp.where(flip, mean ** 2 / x_b, x_b)
+    ok_b = x_b < THRESHOLD
+
+    cand = jnp.where(use_chisq, x_a, x_b)
+    ok = jnp.where(use_chisq, ok_a, ok_b)
+    return cand, ok
+
+
 def _rand_tilted_jacobi(key, tilt, max_rounds):
-    """Tilted Jacobi J*(tilt) draws, one per lane (polya_gamma.pyx:103-129)."""
+    """Tilted Jacobi J*(tilt) draws (polya_gamma.pyx:103-129), one
+    flattened lane-parallel rejection loop. Lane stages: acquiring a
+    proposal (possibly over several iterations for the inverse-Gaussian
+    piece), then the series test; a failed series test restarts the
+    lane."""
     dtype = tilt.dtype
     shape = tilt.shape
     exp_rate = 0.5 * tilt ** 2 + 0.125 * jnp.pi ** 2
     p_right = _prob_right_piece(tilt, exp_rate)
+    rate = jnp.maximum(tilt, 1e-7)
+
+    init = dict(
+        key=key,
+        acc=jnp.zeros(shape, bool),
+        # Lanes committed to the inverse-Gaussian piece but still
+        # drawing candidates for it.
+        ig_pending=jnp.zeros(shape, bool),
+        x=jnp.zeros(shape, dtype),
+        rounds=jnp.int32(0),
+    )
 
     def cond(s):
         return jnp.logical_and(jnp.any(~s['acc']), s['rounds'] < max_rounds)
 
     def body(s):
         key, k_pick, k_exp, k_ig, k_u = jax.random.split(s['key'], 5)
+        active = ~s['acc']
+
+        # Stage 1: lanes starting a fresh proposal pick a side.
+        fresh = jnp.logical_and(active, ~s['ig_pending'])
         from_right = _uniform(k_pick, shape, dtype) < p_right
-        x_right = _left_trunc_exp(
-            _uniform(k_exp, shape, dtype), 1.0 / exp_rate, THRESHOLD
-        )
-        x_left = _right_trunc_invgauss(k_ig, jnp.maximum(tilt, 1e-7),
-                                       THRESHOLD, max_rounds)
-        x = jnp.where(from_right, x_right, x_left)
+        x_right = THRESHOLD \
+            - jnp.log1p(-_uniform(k_exp, shape, dtype)) / exp_rate
+
+        # Stage 2: one inverse-Gaussian attempt for lanes on that piece
+        # (fresh left-side lanes and lanes already pending).
+        ig_lane = jnp.logical_or(
+            jnp.logical_and(fresh, ~from_right),
+            jnp.logical_and(active, s['ig_pending']))
+        ig_cand, ig_ok = _invgauss_attempt(k_ig, rate, dtype)
+
+        have_x = jnp.logical_or(
+            jnp.logical_and(fresh, from_right),
+            jnp.logical_and(ig_lane, ig_ok))
+        x = jnp.where(jnp.logical_and(fresh, from_right), x_right,
+                      jnp.where(jnp.logical_and(ig_lane, ig_ok),
+                                ig_cand, s['x']))
+        ig_pending = jnp.logical_and(ig_lane, ~ig_ok)
+
+        # Stage 3: alternating-series accept test for lanes holding a
+        # fresh proposal this iteration.
         zeroth = _series_term(jnp.asarray(0.0, dtype), x)
         u = _uniform(k_u, shape, dtype) * zeroth
-        ok = _series_acceptance(u, x, zeroth, MAX_SERIES_TERMS)
-        take = jnp.logical_and(~s['acc'], ok)
+        series_ok = _series_acceptance(u, x, zeroth, MAX_SERIES_TERMS)
+        take = jnp.logical_and(have_x, series_ok)
+
         return dict(
             key=key,
-            x=jnp.where(take, x, s['x']),
             acc=jnp.logical_or(s['acc'], take),
+            ig_pending=ig_pending,
+            x=jnp.where(take, x, s['x']),
             rounds=s['rounds'] + 1,
         )
 
-    out = lax.while_loop(
-        cond, body,
-        dict(key=key, x=jnp.zeros(shape, dtype),
-             acc=jnp.zeros(shape, bool), rounds=jnp.int32(0)),
-    )
+    out = lax.while_loop(cond, body, init)
     return out['x']
 
 
