@@ -1,0 +1,84 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh.
+
+The sharded Gibbs step must produce the SAME numbers as the unsharded
+one (GSPMD only changes placement/collectives), and sharded arrays must
+actually be distributed across the mesh.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayesbridge_tpu import RegressionModel, RegressionCoefPrior
+from bayesbridge_tpu.gibbs_util import SamplerOptions
+from bayesbridge_tpu import step as step_mod
+from bayesbridge_tpu.parallel import make_mesh, shard_model
+from bayesbridge_tpu.utils.simulate_data import (
+    simulate_design, simulate_outcome,
+)
+
+N_DEV = 8
+
+
+def _build(n_obs=64, n_pred=24, family='logit', backend=None):
+    X = simulate_design(n_obs, n_pred, binary_frac=.8, seed=0)
+    beta = np.zeros(n_pred)
+    beta[:3] = 1.0
+    outcome = simulate_outcome(X, beta, family, seed=1)
+    model = RegressionModel(outcome, X, family=family)
+    if backend is not None:
+        from bayesbridge_tpu.design import SparseDesignMatrix
+        model.design = SparseDesignMatrix(
+            X, add_intercept=True, center_predictor=True, backend=backend)
+    prior = RegressionCoefPrior(bridge_exponent=.5,
+                                regularizing_slab_size=2.)
+    options = SamplerOptions('cg')
+    cfg = step_mod.GibbsStepConfig(
+        model, prior, options, 1, np.array([np.inf]), jnp.float64)
+    carry = step_mod.init_carry(
+        cfg, jax.random.key(0),
+        coef=np.zeros(model.n_pred),
+        obs_prec=np.full(model.n_obs, .25),
+        gscale=.1, lscale=np.ones(model.n_pred - 1))
+    return model, cfg, carry
+
+
+@pytest.mark.skipif(len(jax.devices()) < N_DEV,
+                    reason="needs the 8-device CPU mesh")
+@pytest.mark.parametrize("backend", ['hybrid', 'ell'])
+def test_sharded_step_matches_unsharded(backend):
+    model, cfg, carry = _build(backend=backend)
+    step = jax.jit(lambda m, c: step_mod.gibbs_step(cfg, m, c))
+    ref_carry, ref_out = step(model, carry)
+
+    mesh = make_mesh(N_DEV)
+    shard_model(model, mesh)
+    if backend == 'hybrid':
+        sharding = model.design.X_exact.sharding
+        assert len(sharding.device_set) == N_DEV
+    sh_carry, sh_out = step(model, carry)
+
+    # Sharding reorders reductions; f64 round-off enters the CG stopping
+    # rule, so solver outputs agree to solver tolerance, not ulps.
+    np.testing.assert_allclose(
+        np.asarray(ref_out['coef']), np.asarray(sh_out['coef']),
+        rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        float(ref_out['logp']), float(sh_out['logp']), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ref_carry['lscale']), np.asarray(sh_carry['lscale']),
+        rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < N_DEV,
+                    reason="needs the 8-device CPU mesh")
+def test_sharded_full_chain_runs():
+    model, cfg, carry = _build(family='linear')
+    carry['obs_prec'] = jnp.asarray(1.0, jnp.float64)
+    shard_model(model, make_mesh(N_DEV))
+    carry, outputs = step_mod.run_chain(
+        cfg, model, carry, n_burnin=2, n_sample=3, thin=2, n_remainder=0,
+        save_keys=('coef', 'logp'))
+    assert outputs['coef'].shape[0] == 3
+    assert np.all(np.isfinite(np.asarray(outputs['logp'])))
