@@ -90,7 +90,8 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         self.centered = center_predictor
         self._dense_cache = None
         if _parts is not None:  # pytree unflatten path
-            self.backend, self._shape_main, self._nnz = _parts[0]
+            (self.backend, self._shape_main, self._nnz,
+             self.exact_is_binary) = _parts[0]
             arrays = _parts[1]
             if self.backend == 'hybrid':
                 (self.X_exact, self.X_float, self.exact_cols,
@@ -145,6 +146,11 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         import ml_dtypes
         X_csc = X.tocsc()
         exact_mask = _bf16_exact_columns(X_csc)
+        # 0/1-valued data squares to itself: lets Fisher diagonals reuse
+        # the plain weighted column sums with no squared transient.
+        self.exact_is_binary = bool(np.all(
+            (X_csc.data == 0.0) | (X_csc.data == 1.0))) if X_csc.nnz \
+            else True
         # bf16 block only pays off in (b)f16-friendly working precision;
         # under float64 keep every column in the working dtype (exact).
         exact_dtype = np.dtype(ml_dtypes.bfloat16) \
@@ -159,6 +165,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             _densify_columns(X_csc, float_cols, dtype))
 
     def _build_ell(self, X, dtype):
+        self.exact_is_binary = False
         (row_idx, row_val), (col_idx, col_val) = \
             dual_ell_from_scipy(X, dtype)
         self.row_idx = jnp.asarray(row_idx)
@@ -176,15 +183,16 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             arrays = (self.row_idx, self.row_val, self.col_idx,
                       self.col_val, self.column_offset)
         aux = (self.intercept_added, self.centered, self.backend,
-               self._shape_main, self._nnz)
+               self._shape_main, self._nnz,
+               getattr(self, 'exact_is_binary', False))
         return arrays, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        intercept_added, centered, backend, shape_main, nnz = aux
+        intercept_added, centered, backend, shape_main, nnz, binary = aux
         return cls(None, center_predictor=centered,
                    add_intercept=intercept_added,
-                   _parts=((backend, shape_main, nnz), children))
+                   _parts=((backend, shape_main, nnz, binary), children))
 
     # -- shape / metadata ------------------------------------------------ #
 
@@ -270,7 +278,10 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             Xe = self.X_exact
             Xf = self.X_float
             if power == 2:
-                Xe = Xe * Xe
+                # 0/1 blocks square to themselves -> skip the n x p
+                # squared transient for the (dominant) exact block.
+                if not getattr(self, 'exact_is_binary', False):
+                    Xe = Xe * Xe
                 Xf = Xf * Xf
             p_main = self._shape_main[1]
             r = jnp.zeros(p_main, out_dtype)

@@ -12,7 +12,9 @@ import jax
 import jax.numpy as jnp
 import scipy.optimize
 
-from .cg import sample_gaussian_cg, choose_preconditioner
+from .cg import (
+    sample_gaussian_cg, choose_preconditioner, choose_diag_preconditioner,
+)
 from .cholesky import sample_gaussian_cholesky
 from .summarizer import (
     compute_prior_shrunk_scale, summarizer_update, extrapolate_coef_condmean,
@@ -23,7 +25,7 @@ from .summarizer import (
 def sample_gaussian_posterior(
         key, design, y_gauss, obs_prec, gscale, lscale,
         prior_sd_for_unshrunk, slab_size, summ_state, method,
-        cg_maxiter=500):
+        cg_maxiter=500, cg_precond_by='diag'):
     """One draw of coef | obs_prec, gscale, lscale for linear/logit
     (reg_coef_sampler.py:60-103). Pure: returns (coef, summ_state, info).
     """
@@ -44,9 +46,13 @@ def sample_gaussian_posterior(
     if method == 'cg':
         coef_init = extrapolate_coef_condmean(
             summ_state, gscale, lscale, n_unshrunk, slab_size)
-        coef_sd = estimate_coef_precond_scale_sd(summ_state)
-        precond_scale = choose_preconditioner(
-            prior_prec_sqrt, n_unshrunk, coef_sd)
+        if cg_precond_by == 'diag':
+            precond_scale = choose_diag_preconditioner(
+                design, obs_prec, prior_prec_sqrt)
+        else:
+            coef_sd = estimate_coef_precond_scale_sd(summ_state)
+            precond_scale = choose_preconditioner(
+                prior_prec_sqrt, n_unshrunk, coef_sd)
         coef, info = sample_gaussian_cg(
             key, design, obs_prec, prior_prec_sqrt, v,
             coef_cg_init=coef_init, precond_scale=precond_scale,

@@ -51,6 +51,8 @@ class GibbsStepConfig:
         self.coef_sampler_type = options.coef_sampler_type
         self.gscale_update_method = options.gscale_update
         self.curvature_est_stabilized = options.curvature_est_stabilized
+        self.cg_preconditioner = getattr(options, 'cg_preconditioner',
+                                         'diag')
         self.n_unshrunk = n_unshrunk
         self.prior_sd_for_unshrunk = np.asarray(prior_sd_for_unshrunk,
                                                 dtype=np.float64)
@@ -186,6 +188,7 @@ def update_regress_coef(cfg, model, key, carry):
             carry['gscale'], carry['lscale'],
             cfg.prior_sd_for_unshrunk.astype(cfg.dtype), cfg.slab_size,
             carry['summ'], cfg.coef_sampler_type,
+            cg_precond_by=cfg.cg_preconditioner,
         )
         return coef, {**carry, 'summ': summ}, info
 
