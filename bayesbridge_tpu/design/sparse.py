@@ -9,10 +9,13 @@ hardware is actually fast at. Two interchangeable backends:
     at full bandwidth, so for typical OHDSI-style densities (1-20%) the
     bandwidth-optimal layout is DENSE, split by column representability:
 
-      * columns whose every value is exactly representable in bfloat16
-        (binary 0/1 indicators, dummy-coded categoricals, small
-        integers) are stored as one bf16 block — half the HBM traffic,
-        zero rounding (the values are exact);
+      * columns whose every value is a small integer (binary 0/1
+        indicators, dummy-coded categoricals, counts ≤ 127) are stored
+        as one int8 block — a quarter of the f32 HBM traffic, zero
+        rounding (XLA fuses the int8→bf16 up-convert into the MXU
+        matmul, so bytes moved stay at the stored width);
+      * failing that, columns exactly representable in bfloat16 are
+        stored as one bf16 block (half the f32 traffic, still exact);
       * remaining continuous columns stay in the working dtype.
 
     Both ``X v`` and ``X' u`` are then single MXU matmuls over the same
@@ -62,21 +65,37 @@ def _densify_columns(X_csc, cols, out_dtype):
     return out
 
 
-def _bf16_exact_columns(X_csc):
-    """Boolean mask of columns whose values round-trip bf16 exactly."""
-    import ml_dtypes
-    data = X_csc.data
+def _exact_column_mask(X_csc, exact_entry):
+    """Columns of a CSC matrix whose every stored entry satisfies the
+    per-entry boolean `exact_entry`."""
     col_nnz = np.diff(X_csc.indptr)
-    if X_csc.nnz == 0:
-        return np.ones(X_csc.shape[1], dtype=bool)
-    roundtrip = data.astype(ml_dtypes.bfloat16).astype(data.dtype)
-    exact_entry = roundtrip == data
     # A column is exact iff all its entries are. reduceat indices must
     # stay in-bounds (trailing empty columns have indptr == nnz); the
     # bogus values those produce are masked out below.
     start = np.minimum(X_csc.indptr[:-1], X_csc.nnz - 1)
     n_exact = np.add.reduceat(exact_entry, start)
     return np.where(col_nnz > 0, n_exact == col_nnz, True)
+
+
+def _bf16_exact_columns(X_csc):
+    """Boolean mask of columns whose values round-trip bf16 exactly."""
+    import ml_dtypes
+    if X_csc.nnz == 0:
+        return np.ones(X_csc.shape[1], dtype=bool)
+    data = X_csc.data
+    roundtrip = data.astype(ml_dtypes.bfloat16).astype(data.dtype)
+    return _exact_column_mask(X_csc, roundtrip == data)
+
+
+def _int8_exact_columns(X_csc):
+    """Boolean mask of columns whose values are integers in [-127, 127]
+    (exactly representable in int8 — and, after the fused up-convert,
+    in bfloat16 too)."""
+    if X_csc.nnz == 0:
+        return np.ones(X_csc.shape[1], dtype=bool)
+    data = X_csc.data
+    ok = (data == np.round(data)) & (np.abs(data) <= 127)
+    return _exact_column_mask(X_csc, ok)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -145,16 +164,27 @@ class SparseDesignMatrix(AbstractDesignMatrix):
     def _build_hybrid(self, X, dtype):
         import ml_dtypes
         X_csc = X.tocsc()
-        exact_mask = _bf16_exact_columns(X_csc)
         # 0/1-valued data squares to itself: lets Fisher diagonals reuse
         # the plain weighted column sums with no squared transient.
         self.exact_is_binary = bool(np.all(
             (X_csc.data == 0.0) | (X_csc.data == 1.0))) if X_csc.nnz \
             else True
-        # bf16 block only pays off in (b)f16-friendly working precision;
-        # under float64 keep every column in the working dtype (exact).
-        exact_dtype = np.dtype(ml_dtypes.bfloat16) \
-            if dtype == np.float32 else dtype
+        # Narrow blocks only pay off in f32 working precision; under
+        # float64 keep every column in the working dtype (exact).
+        if dtype == np.float32:
+            # Pick whichever exact representation moves fewer HBM bytes:
+            # int8 (1 B/elem) for small-integer columns vs bf16
+            # (2 B/elem) for the usually-larger bf16-exact column set.
+            int8_mask = _int8_exact_columns(X_csc)
+            bf16_mask = _bf16_exact_columns(X_csc)
+            n_int8, n_bf16, p = int8_mask.sum(), bf16_mask.sum(), X.shape[1]
+            if 1 * n_int8 + 4 * (p - n_int8) <= 2 * n_bf16 + 4 * (p - n_bf16):
+                exact_mask, exact_dtype = int8_mask, np.dtype(np.int8)
+            else:
+                exact_mask = bf16_mask
+                exact_dtype = np.dtype(ml_dtypes.bfloat16)
+        else:
+            exact_mask, exact_dtype = _bf16_exact_columns(X_csc), dtype
         exact_cols = np.where(exact_mask)[0]
         float_cols = np.where(~exact_mask)[0]
         self.exact_cols = jnp.asarray(exact_cols, jnp.int32)
@@ -220,12 +250,19 @@ class SparseDesignMatrix(AbstractDesignMatrix):
 
     # -- core products --------------------------------------------------- #
 
+    def _exact_block(self):
+        """The exact block as an MXU operand. int8 is widened to bf16
+        (exact for integers up to 127); XLA fuses the convert into the
+        consuming matmul so HBM traffic stays at the stored width."""
+        Xe = self.X_exact
+        return Xe.astype(jnp.bfloat16) if Xe.dtype == jnp.int8 else Xe
+
     def main_dot(self, v_main):
         """(X_main - 1 column_offset') @ v_main."""
         if self.backend == 'hybrid':
             # bf16 @ f32 promotes: XLA fuses the up-convert into the MXU
-            # matmul, so HBM traffic stays at the stored (bf16) width.
-            result = self.X_exact @ jnp.take(v_main, self.exact_cols)
+            # matmul, so HBM traffic stays at the stored (int8/bf16) width.
+            result = self._exact_block() @ jnp.take(v_main, self.exact_cols)
             if self.float_cols.size:
                 result = result + self.X_float @ jnp.take(
                     v_main, self.float_cols)
@@ -240,7 +277,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             out_dtype = self.column_offset.dtype
             p_main = self._shape_main[1]
             result = jnp.zeros(p_main, out_dtype)
-            result = result.at[self.exact_cols].set(self.X_exact.T @ u)
+            result = result.at[self.exact_cols].set(self._exact_block().T @ u)
             if self.float_cols.size:
                 result = result.at[self.float_cols].set(self.X_float.T @ u)
         else:
@@ -275,13 +312,15 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         """sum_i weight_i * X_ij^power per main column j."""
         if self.backend == 'hybrid':
             out_dtype = self.column_offset.dtype
-            Xe = self.X_exact
+            Xe = self._exact_block()
             Xf = self.X_float
             if power == 2:
                 # 0/1 blocks square to themselves -> skip the n x p
                 # squared transient for the (dominant) exact block.
                 if not getattr(self, 'exact_is_binary', False):
-                    Xe = Xe * Xe
+                    # Integer squares can exceed bf16's exact-int range
+                    # (256); square in the working dtype instead.
+                    Xe = jnp.square(Xe.astype(out_dtype))
                 Xf = Xf * Xf
             p_main = self._shape_main[1]
             r = jnp.zeros(p_main, out_dtype)

@@ -138,9 +138,9 @@ def test_sparse_backends_centered_products_and_fisher(backend):
         np.diag(X_np.T @ (weight[:, None] * X_np)), atol=ATOL, rtol=RTOL)
 
 
-def test_hybrid_splits_bf16_exact_columns():
-    """In float32 mode, binary columns land in the bf16 block and are
-    represented exactly; continuous columns stay float32."""
+def test_hybrid_splits_int8_exact_columns():
+    """In float32 mode, binary/integer columns land in the int8 block and
+    are represented exactly; continuous columns stay float32."""
     import scipy.sparse as sps
     rng = np.random.default_rng(15)
     binary = (rng.uniform(size=(40, 6)) < .3).astype(np.float64)
@@ -148,13 +148,50 @@ def test_hybrid_splits_bf16_exact_columns():
     X = sps.csr_matrix(np.hstack([binary, dense]))
     design = SparseDesignMatrix(X, add_intercept=False, backend='hybrid',
                                 dtype=np.float32)
-    assert str(design.X_exact.dtype) == 'bfloat16'
+    assert str(design.X_exact.dtype) == 'int8'
     assert design.X_exact.shape[1] == 6
     assert design.X_float.shape[1] == 2
     v = rng.standard_normal(8).astype(np.float32)
     np.testing.assert_allclose(np.asarray(design.dot(v)),
                                X.toarray().astype(np.float32) @ v,
                                rtol=2e-6, atol=2e-6)
+
+
+def test_hybrid_falls_back_to_bf16_block():
+    """Half-integer columns are not int8-representable but are bf16-exact;
+    when they dominate, the exact block is stored bf16."""
+    import scipy.sparse as sps
+    rng = np.random.default_rng(16)
+    halves = 0.5 * (rng.integers(0, 4, size=(40, 6))).astype(np.float64)
+    dense = rng.standard_normal((40, 2)) * 1.7
+    X = sps.csr_matrix(np.hstack([halves, dense]))
+    design = SparseDesignMatrix(X, add_intercept=False, backend='hybrid',
+                                dtype=np.float32)
+    assert str(design.X_exact.dtype) == 'bfloat16'
+    assert design.X_exact.shape[1] == 6
+    v = rng.standard_normal(8).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(design.dot(v)),
+                               X.toarray().astype(np.float32) @ v,
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_hybrid_int8_nonbinary_fisher_diag():
+    """Integer-count columns (non-binary) square exactly through the
+    int8 block's Fisher-diagonal path."""
+    import scipy.sparse as sps
+    rng = np.random.default_rng(17)
+    counts = rng.integers(0, 100, size=(30, 5)).astype(np.float64)
+    counts[rng.uniform(size=counts.shape) < .5] = 0.0
+    X = sps.csr_matrix(counts)
+    design = SparseDesignMatrix(X, add_intercept=False, backend='hybrid',
+                                dtype=np.float32)
+    assert str(design.X_exact.dtype) == 'int8'
+    assert not design.exact_is_binary
+    weight = rng.exponential(size=30)
+    expected = np.einsum('i,ij->j', weight, counts ** 2)
+    np.testing.assert_allclose(
+        np.asarray(design.compute_fisher_info(weight, diag_only=True)),
+        expected, rtol=1e-4)
 
 
 def test_matvec_counters_and_memoization():
