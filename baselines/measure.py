@@ -37,9 +37,12 @@ def _tpu_rate(X, outcome, family, method, n_iter, bridge_exp=.5,
             'local_scale': np.ones(p)}
     kwargs = dict(n_burnin=0, thin=thin, seed=0, coef_sampler_type=method,
                   init=init, params_to_save=params)
-    bridge.gibbs(n_iter, **kwargs)  # compile + warm up
+    # Warm the chain past its transient, then time a steady-state
+    # continuation via gibbs_resume (the CPU side is timed the same way).
+    _, warm_info = bridge.gibbs(n_iter, **kwargs)
+    bridge.gibbs_resume(warm_info, n_iter)  # compiles the resume path
     tic = time.time()
-    samples, info = bridge.gibbs(n_iter, **kwargs)
+    samples, info = bridge.gibbs_resume(warm_info, n_iter)
     elapsed = time.time() - tic
     ess_rate = None
     if measure_ess and 'coef' in samples:
@@ -54,9 +57,9 @@ def _tpu_rate(X, outcome, family, method, n_iter, bridge_exp=.5,
 def _np_rate(X, outcome, family, method, n_iter, bridge_exp=.5):
     gibbs = NumpyBridgeGibbs(X, outcome, family=family,
                              bridge_exp=bridge_exp, slab_size=2., seed=0)
-    gibbs.run(2, method=method)
+    gibbs.run(max(5, n_iter), method=method)  # warm past the transient
     tic = time.time()
-    gibbs.run(n_iter, method=method)
+    gibbs.run(n_iter, method=method, resume=True)
     return n_iter / (time.time() - tic)
 
 

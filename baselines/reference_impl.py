@@ -295,14 +295,21 @@ class NumpyBridgeGibbs:
     # -- the chain ------------------------------------------------------ #
 
     def run(self, n_iter, n_burnin=0, method='cg', gscale_init=0.1,
-            thin=1):
+            thin=1, resume=False):
+        """Run `n_iter` Gibbs iterations. With resume=True, continue from
+        the final state of the previous run() call (steady-state timing)
+        instead of restarting the chain from zeros."""
         p, n = self.p, self.n
-        coef = np.zeros(p)
-        gscale = gscale_init
-        lscale = np.ones(p - 1)
-        obs_prec = np.ones(n) if self.family == 'logit' else 1.0
-        coef_running_mean = np.zeros(p)
-        n_averaged = 0
+        if resume:
+            (coef, gscale, lscale, obs_prec,
+             coef_running_mean, n_averaged) = self._state
+        else:
+            coef = np.zeros(p)
+            gscale = gscale_init
+            lscale = np.ones(p - 1)
+            obs_prec = np.ones(n) if self.family == 'logit' else 1.0
+            coef_running_mean = np.zeros(p)
+            n_averaged = 0
 
         kept_coef, kept_gscale, n_cg_iters = [], [], []
         for it in range(1, n_iter + 1):
@@ -341,6 +348,8 @@ class NumpyBridgeGibbs:
                 kept_coef.append(coef.copy())
                 kept_gscale.append(gscale)
 
+        self._state = (coef, gscale, lscale, obs_prec,
+                       coef_running_mean, n_averaged)
         return {
             'coef': np.array(kept_coef).T,
             'global_scale': np.array(kept_gscale),

@@ -144,12 +144,17 @@ class BayesBridge:
             cfg, self.model, carry, n_burnin, n_sample, thin, n_remainder,
             save_keys=tuple(params_to_save),
             status_interval=status_interval)
-        jax.block_until_ready(outputs)
+        # One batched device->host transfer for everything the host-side
+        # bookkeeping below reads: per-leaf np.asarray()/float() calls
+        # each pay a full round-trip to the accelerator, which dominates
+        # the post-run time on remote-attached TPUs.
+        carry_host, outputs = jax.device_get(
+            ({k: v for k, v in carry.items() if k != 'key'}, outputs))
         runtime = time.time() - start_time
 
         self.rg._key = carry['key']
         self._sampler_state = self._extract_sampler_state(carry)
-        self._warn_guard_rails(carry, options)
+        self._warn_guard_rails(carry_host, options)
 
         samples = self.manager.assemble_samples(outputs, params_to_save)
         sampling_info = self.manager.assemble_sampling_info(
@@ -158,8 +163,8 @@ class BayesBridge:
         # Report (and pack) the scales in the user-facing parametrization;
         # `initialize_chain` converts back to 'raw' on resume, exactly
         # like the reference round-trip (bayesbridge.py:244-254, 325-329).
-        gscale_final = float(carry['gscale'])
-        lscale_final = np.array(carry['lscale'], dtype=np.float64)
+        gscale_final = float(carry_host['gscale'])
+        lscale_final = np.array(carry_host['lscale'], dtype=np.float64)
         if self.prior._gscale_paramet == 'coef_magnitude':
             gscale_final, lscale_final = self.prior.adjust_scale(
                 gscale_final, lscale_final, to='coef_magnitude')
@@ -169,15 +174,16 @@ class BayesBridge:
                 to='coef_magnitude')
 
         _markov_chain_state = self.manager.pack_parameters(
-            carry['coef'], carry['obs_prec'], lscale_final, gscale_final)
+            carry_host['coef'], carry_host['obs_prec'], lscale_final,
+            gscale_final)
         # Raw-parametrization copy: lets gibbs_resume skip the lossy
         # coef_magnitude <-> raw round trip so resume == uninterrupted
         # bit-for-bit (the reference only matches to rtol because of
         # this round trip; bayesbridge.py:244-254).
         _markov_chain_state_raw = self.manager.pack_parameters(
-            carry['coef'], carry['obs_prec'],
-            np.array(carry['lscale'], dtype=np.float64),
-            float(carry['gscale']))
+            carry_host['coef'], carry_host['obs_prec'],
+            np.array(carry_host['lscale'], dtype=np.float64),
+            float(carry_host['gscale']))
 
         mcmc_info = {
             'init': init,
@@ -198,7 +204,7 @@ class BayesBridge:
             '_markov_chain_state_raw': _markov_chain_state_raw,
             '_random_gen_state': self.rg.get_state(),
             '_reg_coef_sampler_state': jax.tree_util.tree_map(
-                np.asarray, self._sampler_state),
+                np.asarray, self._extract_sampler_state(carry_host)),
         }
         return samples, mcmc_info
 

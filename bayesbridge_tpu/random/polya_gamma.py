@@ -13,13 +13,13 @@ acceptance test truncated at 100 terms (polya_gamma.pyx:26-27).
 
 The reference's nested scalar rejection loops (proposal -> truncated
 inverse-Gaussian -> truncated chi-squared) are FLATTENED into a single
-lane-parallel state machine: each iteration of one ``lax.while_loop``
-advances every unfinished lane by one attempt of whatever stage it is in
-(the truncated chi-squared proposal and both acceptance tests of the
-inverted-chi-squared branch collapse into one joint accept step). Only
-the alternating-series test keeps its own (bounded) inner loop. This
-keeps the compiled graph small and lets fast lanes retire while slow
-lanes keep drawing.
+lane-parallel state machine: each round advances every unfinished lane
+by one attempt of whatever stage it is in (the truncated chi-squared
+proposal and both acceptance tests of the inverted-chi-squared branch
+collapse into one joint accept step). Only the alternating-series test
+keeps its own (bounded) inner loop. Rounds run through the
+lane-compaction driver (random/rejection.py) so the straggler tail does
+not pay full-width VPU math.
 
 Integer shapes > 1 are handled by expanding each lane into ``shape``
 unit-shape lanes (``jnp.repeat`` with a static total, since trial counts
@@ -36,6 +36,8 @@ import numpy as np
 from jax import lax
 from jax.ops import segment_sum
 from jax.scipy.special import log_ndtr
+
+from .rejection import run_rejection
 
 THRESHOLD = 2.0 / np.pi  # proposal split point (polya_gamma.pyx:26)
 MAX_SERIES_TERMS = 100   # series truncation (polya_gamma.pyx:27)
@@ -164,61 +166,52 @@ def _rand_tilted_jacobi(key, tilt, max_rounds):
     p_right = _prob_right_piece(tilt, exp_rate)
     rate = jnp.maximum(tilt, 1e-7)
 
-    init = dict(
-        key=key,
-        acc=jnp.zeros(shape, bool),
-        # Lanes committed to the inverse-Gaussian piece but still
-        # drawing candidates for it.
-        ig_pending=jnp.zeros(shape, bool),
-        x=jnp.zeros(shape, dtype),
-        rounds=jnp.int32(0),
-    )
-
-    def cond(s):
-        return jnp.logical_and(jnp.any(~s['acc']), s['rounds'] < max_rounds)
-
-    def body(s):
-        key, k_pick, k_exp, k_ig, k_u = jax.random.split(s['key'], 5)
-        active = ~s['acc']
+    def attempt(k, p, s):
+        k_pick, k_exp, k_ig, k_u = jax.random.split(k, 4)
+        lanes = p['rate'].shape
 
         # Stage 1: lanes starting a fresh proposal pick a side.
-        fresh = jnp.logical_and(active, ~s['ig_pending'])
-        from_right = _uniform(k_pick, shape, dtype) < p_right
+        fresh = ~s['ig_pending']
+        from_right = _uniform(k_pick, lanes, dtype) < p['p_right']
         x_right = THRESHOLD \
-            - jnp.log1p(-_uniform(k_exp, shape, dtype)) / exp_rate
+            - jnp.log1p(-_uniform(k_exp, lanes, dtype)) / p['exp_rate']
 
         # Stage 2: one inverse-Gaussian attempt for lanes on that piece
         # (fresh left-side lanes and lanes already pending).
-        ig_lane = jnp.logical_or(
-            jnp.logical_and(fresh, ~from_right),
-            jnp.logical_and(active, s['ig_pending']))
-        ig_cand, ig_ok = _invgauss_attempt(k_ig, rate, dtype)
+        ig_lane = jnp.logical_or(jnp.logical_and(fresh, ~from_right),
+                                 s['ig_pending'])
+        ig_cand, ig_ok = _invgauss_attempt(k_ig, p['rate'], dtype)
 
         have_x = jnp.logical_or(
             jnp.logical_and(fresh, from_right),
             jnp.logical_and(ig_lane, ig_ok))
-        x = jnp.where(jnp.logical_and(fresh, from_right), x_right,
-                      jnp.where(jnp.logical_and(ig_lane, ig_ok),
-                                ig_cand, s['x']))
+        x = jnp.where(jnp.logical_and(fresh, from_right), x_right, ig_cand)
         ig_pending = jnp.logical_and(ig_lane, ~ig_ok)
 
         # Stage 3: alternating-series accept test for lanes holding a
-        # fresh proposal this iteration.
+        # fresh proposal this round.
         zeroth = _series_term(jnp.asarray(0.0, dtype), x)
-        u = _uniform(k_u, shape, dtype) * zeroth
+        u = _uniform(k_u, lanes, dtype) * zeroth
         series_ok = _series_acceptance(u, x, zeroth, MAX_SERIES_TERMS)
-        take = jnp.logical_and(have_x, series_ok)
+        ok = jnp.logical_and(have_x, series_ok)
+        return dict(ig_pending=ig_pending), x, ok
 
-        return dict(
-            key=key,
-            acc=jnp.logical_or(s['acc'], take),
-            ig_pending=ig_pending,
-            x=jnp.where(take, x, s['x']),
-            rounds=s['rounds'] + 1,
-        )
-
-    out = lax.while_loop(cond, body, init)
-    return out['x']
+    # tail_replicas MUST stay 1 here: this chain's acceptance time is
+    # correlated with its value (the inverse-Gaussian piece takes a
+    # geometric number of rounds, the exponential piece exactly one), so
+    # first-finisher replica selection would over-represent the
+    # exponential piece. See run_rejection's docstring; the pinned-mean
+    # test in tests/test_random_kernels.py guards this.
+    x, _ = run_rejection(
+        key,
+        params=dict(exp_rate=exp_rate, p_right=p_right, rate=rate),
+        state=dict(ig_pending=jnp.zeros(shape, bool)),
+        attempt=attempt,
+        value_init=jnp.zeros(shape, dtype),
+        max_rounds=max_rounds,
+        tail_replicas=1,
+    )
+    return x
 
 
 @functools.partial(jax.jit, static_argnames=('max_rounds',))

@@ -17,13 +17,15 @@ Two algorithms, chosen lane-wise exactly like the reference
   tilt.
 
 Instead of scalar accept/reject loops over a PCG64 stream, every lane of
-the input vector runs its rejection chain simultaneously inside masked
-``lax.while_loop`` s on ``jax.random`` (threefry) keys: each iteration
-proposes for *all* unfinished lanes at once (pure VPU element-wise math),
-and the loop exits when the slowest lane has accepted. Acceptance
+the input vector runs its rejection chain simultaneously on
+``jax.random`` (threefry) keys: each round proposes for all unfinished
+lanes at once (pure VPU element-wise math). Rounds run through the
+lane-compaction driver (see random/rejection.py): as lanes accept, the
+stragglers are gathered into geometrically smaller buffers so the tail
+of slow lanes does not pay full-width transcendental math. Acceptance
 probabilities are bounded below (>= exp(-2) for divide-conquer in the
-auto-selected regime, Omega(1) for double-rejection), so the loop count
-is small; a safety cap bounds compilation-visible trip counts.
+auto-selected regime, Omega(1) for double-rejection), and a safety cap
+bounds the total round count.
 """
 
 import functools
@@ -32,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+from .rejection import run_rejection
 
 TILT_POWER_THRESHOLD = 2.0  # same crossover as tilted_stable.pyx:52
 _MAX_REJECTION_ROUNDS = 256
@@ -106,25 +110,23 @@ def _sample_divide_conquer(key, alpha, tilt, max_partition, max_rounds):
     m = jnp.minimum(m, max_partition)
     c = (1.0 / m.astype(dtype)) ** (1.0 / alpha)
 
-    def cond(state):
-        _, n_done, _, rounds = state
-        return jnp.logical_and(jnp.any(n_done < m), rounds < max_rounds)
+    def attempt(k, p, s):
+        k_s, k_u = jax.random.split(k)
+        draw = p['c'] * _sample_non_tilted(k_s, p['alpha'], dtype)
+        accept_prob = _safe_exp(-p['tilt'] * draw)
+        u = _uniform(k_u, p['tilt'].shape, dtype)
+        take = jnp.logical_and(s['n_done'] < p['m'], u < accept_prob)
+        total = jnp.where(take, s['total'] + draw, s['total'])
+        n_done = jnp.where(take, s['n_done'] + 1, s['n_done'])
+        return dict(n_done=n_done, total=total), total, n_done >= p['m']
 
-    def body(state):
-        key, n_done, total, rounds = state
-        key, k_s, k_u = jax.random.split(key, 3)
-        s = c * _sample_non_tilted(k_s, alpha, dtype)
-        accept_prob = _safe_exp(-tilt * s)
-        u = _uniform(k_u, tilt.shape, dtype)
-        active = n_done < m
-        take = jnp.logical_and(active, u < accept_prob)
-        total = jnp.where(take, total + s, total)
-        n_done = jnp.where(take, n_done + 1, n_done)
-        return key, n_done, total, rounds + 1
-
-    _, _, total, _ = lax.while_loop(
-        cond, body,
-        (key, jnp.zeros_like(m), jnp.zeros_like(tilt), jnp.int32(0)),
+    total, _ = run_rejection(
+        key,
+        params=dict(alpha=alpha, tilt=tilt, m=m, c=c),
+        state=dict(n_done=jnp.zeros_like(m), total=jnp.zeros_like(tilt)),
+        attempt=attempt,
+        value_init=jnp.zeros_like(tilt),
+        max_rounds=max_rounds,
     )
     return total
 
@@ -243,22 +245,11 @@ def _sample_double_rejection(key, alpha, tilt, max_rounds):
         * _safe_exp(-gamma * jnp.pi * jnp.pi / 8.0)
 
     zeros = jnp.zeros(shape, dtype)
-    init = dict(
-        key=key,
-        accepted=jnp.zeros(shape, bool),
-        have_aux=jnp.zeros(shape, bool),
-        u=zeros, v=zeros, z=zeros,
-        result=zeros,
-        rounds=jnp.int32(0),
-    )
 
-    def cond(s):
-        return jnp.logical_and(
-            jnp.any(jnp.logical_not(s['accepted'])), s['rounds'] < max_rounds
-        )
-
-    def body(s):
-        key, k_aux, k_avp, k_ref = jax.random.split(s['key'], 4)
+    def attempt(k, p, s):
+        k_aux, k_avp, k_ref = jax.random.split(k, 3)
+        alpha, gamma, xi, psi, tilt_power = (
+            p['alpha'], p['gamma'], p['xi'], p['psi'], p['tilt_power'])
 
         # --- auxiliary attempt for lanes without an armed (U, V, z) ----- #
         u_cand = _aux2_candidate(k_aux, alpha, gamma, xi, psi, dtype)
@@ -271,42 +262,37 @@ def _sample_double_rejection(key, alpha, tilt, max_rounds):
         accept_prob = _aux2_accept_prob(
             u_safe, alpha, xi, psi, zeta, z_cand, tilt_power, gamma
         )
-        v_cand = _uniform(k_avp, shape, dtype) / accept_prob
+        v_cand = _uniform(k_avp, gamma.shape, dtype) / accept_prob
         aux_ok = jnp.logical_and(
             jnp.logical_and(u_ok, accept_prob > 0.0), v_cand <= 1.0
         )
 
-        need_aux = jnp.logical_and(
-            jnp.logical_not(s['accepted']), jnp.logical_not(s['have_aux'])
-        )
-        take_aux = jnp.logical_and(need_aux, aux_ok)
+        take_aux = jnp.logical_and(jnp.logical_not(s['have_aux']), aux_ok)
         u = jnp.where(take_aux, u_safe, s['u'])
         v = jnp.where(take_aux, v_cand, s['v'])
         z = jnp.where(take_aux, z_cand, s['z'])
         have_aux = jnp.logical_or(s['have_aux'], take_aux)
 
         # --- final attempt for lanes with an armed auxiliary draw ------- #
-        active = jnp.logical_and(jnp.logical_not(s['accepted']), have_aux)
         x, log_prob = _reference_rv(k_ref, u, alpha, tilt_power, z, dtype)
         final_ok = log_prob > jnp.log(v)
-        newly_accepted = jnp.logical_and(active, final_ok)
-
-        result = jnp.where(
-            newly_accepted,
-            x ** (-(1.0 - alpha) / alpha),
-            s['result'],
-        )
-        accepted = jnp.logical_or(s['accepted'], newly_accepted)
+        ok = jnp.logical_and(have_aux, final_ok)
+        value = x ** (-(1.0 - alpha) / alpha)
         # A failed final attempt restarts the lane from the aux stage.
-        have_aux = jnp.where(
-            jnp.logical_and(active, jnp.logical_not(final_ok)),
-            False, have_aux,
-        )
-        return dict(key=key, accepted=accepted, have_aux=have_aux,
-                    u=u, v=v, z=z, result=result, rounds=s['rounds'] + 1)
+        have_aux = jnp.logical_and(have_aux, final_ok)
+        return dict(have_aux=have_aux, u=u, v=v, z=z), value, ok
 
-    out = lax.while_loop(cond, body, init)
-    return out['result']
+    result, _ = run_rejection(
+        key,
+        params=dict(alpha=alpha, gamma=gamma, xi=xi, psi=psi,
+                    tilt_power=tilt_power),
+        state=dict(have_aux=jnp.zeros(shape, bool), u=zeros, v=zeros,
+                   z=zeros),
+        attempt=attempt,
+        value_init=zeros,
+        max_rounds=max_rounds,
+    )
+    return result
 
 
 # --------------------------------------------------------------------- #

@@ -50,17 +50,27 @@ def time_tpu(X, outcome, n_iter, bridge_exp=0.5):
             'local_scale': np.ones(X.shape[1])}
 
     kwargs = dict(n_burnin=0, seed=0, coef_sampler_type='cg', init=init,
-                  params_to_save=('logp',))
-    # Warm-up call compiles run_chain for this (cfg, lengths) signature.
-    bridge.gibbs(n_iter, **kwargs)
+                  params_to_save=('coef', 'logp'))
+    # Warm the chain past its transient (early iterations start at
+    # coef=0 with a cold summarizer, so the CG solves and rejection
+    # samplers are unrepresentatively slow), then time a steady-state
+    # continuation via gibbs_resume. The CPU baseline is timed the same
+    # way (run(resume=True) after a warm-up run).
+    _, warm_info = bridge.gibbs(n_iter, **kwargs)
+    bridge.gibbs_resume(warm_info, n_iter)  # compiles the resume path
     tic = time.time()
-    samples, info = bridge.gibbs(n_iter, **kwargs)
+    samples, info = bridge.gibbs_resume(warm_info, n_iter)
     elapsed = time.time() - tic
     n_cg = info['_reg_coef_sampling_info']['n_cg_iter']
+    from bayesbridge_tpu.utils.mcmc_summarizer import (
+        compute_effective_sample_size,
+    )
+    ess = compute_effective_sample_size(samples['coef'][1:201])
     return n_iter / elapsed, {
         'elapsed_s': elapsed,
         'mean_cg_iter': float(np.mean(n_cg)),
         'final_logp': float(samples['logp'][-1]),
+        'median_coef_ess_per_sec': round(float(np.median(ess)) / elapsed, 2),
         'backend': jax.default_backend(),
     }
 
@@ -70,9 +80,11 @@ def time_baseline(X, outcome, n_iter, bridge_exp=0.5):
     from baselines.reference_impl import NumpyBridgeGibbs
     gibbs = NumpyBridgeGibbs(X, outcome, family='logit',
                              bridge_exp=bridge_exp, slab_size=2., seed=0)
-    gibbs.run(2, method='cg')  # warm scipy caches
+    # Warm the chain past its transient (mirrors the TPU-side resume
+    # timing), then time a steady-state continuation.
+    gibbs.run(max(5, n_iter), method='cg')
     tic = time.time()
-    gibbs.run(n_iter, method='cg')
+    gibbs.run(n_iter, method='cg', resume=True)
     elapsed = time.time() - tic
     return n_iter / elapsed, {'elapsed_s': elapsed}
 
@@ -80,7 +92,7 @@ def time_baseline(X, outcome, n_iter, bridge_exp=0.5):
 def main():
     n_obs = int(os.environ.get('BB_BENCH_N', 20_000))
     n_pred = int(os.environ.get('BB_BENCH_P', 10_000))
-    n_iter_tpu = int(os.environ.get('BB_BENCH_ITER', 50))
+    n_iter_tpu = int(os.environ.get('BB_BENCH_ITER', 200))
     n_iter_np = int(os.environ.get('BB_BENCH_ITER_BASELINE', 5))
 
     X, outcome = build_data(n_obs, n_pred)

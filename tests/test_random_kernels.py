@@ -135,3 +135,26 @@ def test_basic_random_state_roundtrip():
     rg.set_state(state)
     x2 = rg.normal(10)
     np.testing.assert_array_equal(x1, x2)
+
+
+def test_small_width_means_unbiased():
+    """Narrow inputs run entirely in the rejection driver's tail level,
+    where replica selection applies; the sampled means must still match
+    the closed forms. Regression test for first-finisher selection bias
+    (a chain whose acceptance time correlates with its value, like the
+    Polya-Gamma two-piece proposal, must not use tail replicas)."""
+    n, reps = 100, 2500
+    # PG(1, 1): mean = tanh(1/2)/2.
+    f = jax.jit(jax.vmap(
+        lambda k: sample_unit_shape_polya_gamma(k, jnp.full(n, 1.0))))
+    draws = np.asarray(f(jax.random.split(jax.random.key(5), reps))).ravel()
+    true = np.tanh(0.5) / 2.0
+    se = draws.std() / np.sqrt(draws.size)
+    assert abs(draws.mean() - true) < 5 * se
+
+    # Tilted stable, tilt=1, alpha=.25: mean = alpha * tilt^(alpha-1).
+    f = jax.jit(jax.vmap(
+        lambda k: sample_tilted_stable(k, 0.25, jnp.full(n, 1.0))))
+    draws = np.asarray(f(jax.random.split(jax.random.key(6), reps))).ravel()
+    se = draws.std() / np.sqrt(draws.size)
+    assert abs(draws.mean() - 0.25) < 5 * se
