@@ -34,6 +34,8 @@ try:
     from .models import RegressionModel  # noqa: F401
     from .gibbs_util import SamplerOptions  # noqa: F401
     from .bridge import BayesBridge  # noqa: F401
-    __all__ += ["RegressionModel", "SamplerOptions", "BayesBridge"]
+    from .multichain import gibbs_chains  # noqa: F401
+    __all__ += ["RegressionModel", "SamplerOptions", "BayesBridge",
+                "gibbs_chains"]
 except ImportError:  # pragma: no cover - during incremental bootstrap only
     pass

@@ -75,3 +75,39 @@ def compute_effective_sample_size(samples, axis=-1):
     ess = n / np.maximum(tau, 1.0 / n)
     ess = np.minimum(ess, 1.0 * n)
     return float(ess[0]) if single else ess
+
+
+def compute_split_rhat(chain_samples, iter_axis=-1, chain_axis=0):
+    """Split-Rhat (Gelman et al. 2013) convergence diagnostic for
+    multi-chain output as produced by
+    :func:`bayesbridge_tpu.multichain.gibbs_chains`.
+
+    Each chain is split in half (so a single chain still yields a
+    meaningful statistic) and the classic between/within variance ratio
+    is computed per parameter. Values near 1 indicate mixing.
+    """
+    x = np.asarray(chain_samples, dtype=np.float64)
+    x = np.moveaxis(x, (chain_axis, iter_axis), (0, -1))
+    n = x.shape[-1]
+    half = n // 2
+    if half < 2:
+        raise ValueError("Need at least 4 iterations per chain.")
+    # Split each chain into two half-chains along a new leading axis.
+    x = np.concatenate((x[..., :half], x[..., n - half:]), axis=0)
+    m = x.shape[0]
+    chain_mean = x.mean(-1)
+    chain_var = x.var(-1, ddof=1)
+    w = chain_var.mean(0)
+    b = half * chain_mean.var(0, ddof=1)
+    var_plus = (half - 1) / half * w + b / half
+    with np.errstate(divide='ignore', invalid='ignore'):
+        rhat = np.sqrt(var_plus / w)
+    return np.where(w > 0, rhat, 1.0)
+
+
+def compute_multichain_ess(chain_samples, iter_axis=-1, chain_axis=0):
+    """Pooled effective sample size: per-chain Geyer ESS summed over
+    chains (chains are independent by construction)."""
+    x = np.asarray(chain_samples, dtype=np.float64)
+    x = np.moveaxis(x, (chain_axis, iter_axis), (0, -1))
+    return compute_effective_sample_size(x).sum(0)

@@ -1,0 +1,98 @@
+"""Tests for vmapped multi-chain sampling.
+
+The strongest check is exactness: a vmapped chain must reproduce, draw
+for draw, the single-chain scan run with the same PRNG key — vmap and
+mesh sharding are program transforms, not algorithm changes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayesbridge_tpu import (
+    BayesBridge, RegressionModel, RegressionCoefPrior,
+)
+from bayesbridge_tpu import step as step_mod
+from bayesbridge_tpu.gibbs_util import SamplerOptions
+from bayesbridge_tpu.multichain import gibbs_chains
+from bayesbridge_tpu.utils.mcmc_summarizer import (
+    compute_split_rhat, compute_multichain_ess,
+)
+from tests.helper import simulate_data
+
+
+def _make_bridge():
+    outcome, X, _ = simulate_data(model='logit', seed=0)
+    model = RegressionModel(outcome, X, family='logit')
+    prior = RegressionCoefPrior(bridge_exponent=.5,
+                                regularizing_slab_size=2.)
+    return BayesBridge(model, prior)
+
+
+def test_vmapped_chains_match_sequential_runs():
+    bridge = _make_bridge()
+    n_chains, n_iter = 3, 12
+    init = {'coef': np.zeros(bridge.n_pred), 'global_scale': 0.1,
+            'local_scale': np.ones(bridge.n_pred - bridge.n_unshrunk)}
+    samples, info = gibbs_chains(
+        bridge, n_iter, n_chains, seed=11, init=dict(init),
+        coef_sampler_type='cg', params_to_save=('coef', 'logp'))
+    assert samples['coef'].shape == (n_chains, bridge.n_pred, n_iter)
+
+    # Re-run each chain through the single-chain scan with the same key.
+    options = SamplerOptions.pick_default_and_create(
+        'cg', None, bridge.model.name, bridge.model.design)
+    bridge.rg.set_seed(11)
+    cfg = bridge._get_step_config(options)
+    coef, obs_prec, lscale, gscale, _, _ = bridge.initialize_chain(
+        dict(init), bridge.prior.bridge_exp, cfg)
+    keys = jax.random.split(bridge.rg.key, n_chains)
+    for c in range(n_chains):
+        carry = step_mod.init_carry(cfg, keys[c], coef, obs_prec,
+                                    gscale, lscale)
+        _, outputs = step_mod.run_chain(
+            cfg, bridge.model, carry, 0, n_iter, 1, 0,
+            save_keys=('coef', 'logp'))
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(outputs['coef']), 0, -1),
+            samples['coef'][c], rtol=1e-6, atol=1e-7)
+
+
+def test_chains_shard_over_mesh():
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device (forced host) platform")
+    from jax.sharding import Mesh
+    bridge = _make_bridge()
+    mesh = Mesh(np.array(jax.devices()[:2]), ('chains',))
+    s_mesh, _ = gibbs_chains(
+        bridge, 8, 2, seed=5, coef_sampler_type='cg',
+        params_to_save=('coef',), mesh=mesh)
+    s_plain, _ = gibbs_chains(
+        bridge, 8, 2, seed=5, coef_sampler_type='cg',
+        params_to_save=('coef',))
+    np.testing.assert_allclose(s_mesh['coef'], s_plain['coef'],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_rhat_and_pooled_ess():
+    bridge = _make_bridge()
+    samples, _ = gibbs_chains(
+        bridge, 120, 4, n_burnin=40, seed=2, coef_sampler_type='cg',
+        params_to_save=('coef', 'logp'))
+    rhat = compute_split_rhat(samples['coef'])
+    assert rhat.shape == (bridge.n_pred,)
+    assert np.all(np.isfinite(rhat))
+    assert np.median(rhat) < 1.3  # chains explore the same posterior
+    ess = compute_multichain_ess(samples['coef'])
+    assert ess.shape == (bridge.n_pred,)
+    assert np.all(ess > 4)  # more than one effective draw per chain
+
+
+def test_rhat_detects_disagreement():
+    rng = np.random.default_rng(0)
+    good = rng.standard_normal((4, 200))
+    bad = good + np.arange(4)[:, None] * 10.0  # chains at different means
+    assert compute_split_rhat(good[..., None, :]).item() < 1.1
+    assert compute_split_rhat(bad[..., None, :]).item() > 2.0
