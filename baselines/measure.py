@@ -49,6 +49,8 @@ def _tpu_rate(X, outcome, family, method, n_iter, bridge_exp=.5,
         from bayesbridge_tpu.utils.mcmc_summarizer import (
             compute_effective_sample_size,
         )
+        # First 200 non-intercept coefficient rows (signal + noise
+        # columns), keeping the FFT autocovariance cost bounded.
         ess = compute_effective_sample_size(samples['coef'][1:201])
         ess_rate = float(np.median(ess)) / elapsed
     return n_iter / elapsed, ess_rate

@@ -9,14 +9,13 @@ hardware is actually fast at. Two interchangeable backends:
     at full bandwidth, so for typical OHDSI-style densities (1-20%) the
     bandwidth-optimal layout is DENSE, split by column representability:
 
-      * columns whose every value is a small integer (binary 0/1
-        indicators, dummy-coded categoricals, counts ≤ 127) are stored
-        as one int8 block — a quarter of the f32 HBM traffic, zero
-        rounding (XLA fuses the int8→bf16 up-convert into the MXU
-        matmul, so bytes moved stay at the stored width);
-      * failing that, columns exactly representable in bfloat16 are
-        stored as one bf16 block (half the f32 traffic, still exact);
-      * remaining continuous columns stay in the working dtype.
+      * exactly-representable columns form ONE narrow block whose dtype
+        is chosen by total HBM bytes: int8 when small-integer columns
+        (binary 0/1 indicators, dummy-coded categoricals, counts ≤ 127)
+        dominate — a quarter of the f32 traffic, zero rounding, with the
+        int8→bf16 up-convert fused into the MXU matmul — otherwise bf16
+        over the bf16-exact column set (half the f32 traffic);
+      * all remaining columns stay in the working dtype.
 
     Both ``X v`` and ``X' u`` are then single MXU matmuls over the same
     arrays (no transpose copy needed). At 10% density this is ~100x

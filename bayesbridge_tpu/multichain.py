@@ -48,6 +48,16 @@ def gibbs_chains(bridge, n_iter, n_chains, n_burnin=0, thin=1, seed=None,
             bridge.model.design)
     if init is None:
         init = {'global_scale': 0.1}
+    if params_to_save == 'all':
+        params_to_save = ('coef', 'local_scale', 'global_scale', 'logp')
+        if bridge.model.name != 'cox':
+            params_to_save += ('obs_prec',)
+    from .bridge import _SAVABLE_PARAMS
+    unknown = [k for k in params_to_save if k not in _SAVABLE_PARAMS]
+    if unknown:
+        raise ValueError(
+            "Unknown parameter name(s) {} in params_to_save.".format(
+                unknown))
 
     bridge.rg.set_seed(seed)
     cfg = bridge._get_step_config(options)
@@ -90,6 +100,18 @@ def gibbs_chains(bridge, n_iter, n_chains, n_burnin=0, thin=1, seed=None,
         if key in outputs:
             samples[key] = np.moveaxis(np.array(outputs[key]), 1, -1)
 
+    # Report scales in the user-facing parametrization, exactly like
+    # BayesBridge.gibbs (bridge.py; reference bayesbridge.py:244-254).
+    gscale_final = np.array(carry_host['gscale'], dtype=np.float64)
+    lscale_final = np.array(carry_host['lscale'], dtype=np.float64)
+    if bridge.prior._gscale_paramet == 'coef_magnitude':
+        gscale_final, lscale_final = bridge.prior.adjust_scale(
+            gscale_final, lscale_final, to='coef_magnitude')
+        bridge.prior.adjust_scale(
+            samples.get('global_scale', np.zeros(0)),
+            samples.get('local_scale', np.zeros(0)),
+            to='coef_magnitude')
+
     sampling_info = {
         key: np.asarray(outputs[key], dtype=np.float64)
         for key in bridge.manager.get_sampling_info_keys(
@@ -103,13 +125,18 @@ def gibbs_chains(bridge, n_iter, n_chains, n_burnin=0, thin=1, seed=None,
         '_reg_coef_sampling_info': sampling_info,
         '_final_state': {
             'coef': carry_host['coef'],
-            'global_scale': carry_host['gscale'],
-            'local_scale': carry_host['lscale'],
+            'global_scale': gscale_final,
+            'local_scale': lscale_final,
             'obs_prec': carry_host['obs_prec'],
         },
-        'n_gscale_clamped': int(np.sum(carry_host['n_gscale_clamped'])),
-        'n_lscale_underflow':
-            int(np.sum(carry_host['n_lscale_underflow'])),
-        'n_lscale_overflow': int(np.sum(carry_host['n_lscale_overflow'])),
     }
+    for counter in ('n_gscale_clamped', 'n_lscale_underflow',
+                    'n_lscale_overflow', 'n_cg_unconverged'):
+        if counter in carry_host:
+            info[counter] = int(np.sum(carry_host[counter]))
+    # Surface the same numerical guard-rail warnings as the single-chain
+    # path (summed over chains).
+    bridge._warn_guard_rails(
+        {k: np.sum(v) for k, v in carry_host.items()
+         if k.startswith('n_')}, options)
     return samples, info

@@ -220,7 +220,10 @@ def sample_unit_shape_polya_gamma(key, tilt,
     """PG(1, tilt) draws, one per element of `tilt`
     (polya_gamma.pyx:97-101)."""
     tilt = jnp.asarray(tilt)
-    return 0.25 * _rand_tilted_jacobi(key, 0.5 * jnp.abs(tilt), max_rounds)
+    # The compaction driver works on flat lane vectors.
+    draws = _rand_tilted_jacobi(key, 0.5 * jnp.abs(tilt).ravel(),
+                                max_rounds)
+    return 0.25 * draws.reshape(tilt.shape)
 
 
 def sample_polya_gamma(key, shape, tilt, max_rounds=_MAX_REJECTION_ROUNDS):

@@ -66,7 +66,7 @@ def _plan_widths(n, min_width, shrink):
 
 def run_rejection(key, params, state, attempt, value_init,
                   min_width=512, shrink=4, max_rounds=256,
-                  tail_replicas=8):
+                  tail_replicas=8, latch='on_accept'):
     """Run per-lane rejection chains to acceptance, with compaction.
 
     Parameters
@@ -75,18 +75,23 @@ def run_rejection(key, params, state, attempt, value_init,
     params : pytree of (n,)-shaped arrays
         Per-lane constants of the chain (tilts, precomputed rates, ...).
     state : pytree of (n,)-shaped arrays
-        Per-lane mutable chain state (e.g. an "armed auxiliary variable"
-        flag). Frozen once a lane accepts. Pass ``{}`` for memoryless
-        chains.
+        Per-lane mutable chain state (e.g. a "retrying this proposal
+        piece" flag). Frozen once a lane accepts. Pass ``{}`` for
+        memoryless chains.
     attempt : callable(key, params, state) -> (state, value, ok)
         One proposal round for every lane: returns the updated state, the
         candidate value and a per-lane acceptance flag. Must be pure
         element-wise (no cross-lane coupling) so that compaction cannot
         change any lane's distribution.
     value_init : (n,) array
-        Initial per-lane values; lanes that never accept within
-        `max_rounds` keep their latest candidate state value (mirroring
-        the uncompacted cap semantics).
+        Initial per-lane values, returned for lanes that never accept
+        within `max_rounds` (under the default ``latch='on_accept'``).
+    latch : 'on_accept' | 'every_round'
+        'on_accept' records a lane's value only when it accepts, so a
+        capped lane returns its ``value_init`` entry. 'every_round'
+        records the candidate on every round a lane is active — for
+        chains whose value accumulates monotonically (divide-and-conquer
+        partial sums), a capped lane then returns its progress so far.
 
     Returns
     -------
@@ -112,7 +117,8 @@ def run_rejection(key, params, state, attempt, value_init,
         new_state, val, ok = attempt(k_att, c['params'], c['state'])
         active = ~c['acc']
         take = jnp.logical_and(active, ok)
-        value = jnp.where(take, val, c['value'])
+        record = active if latch == 'every_round' else take
+        value = jnp.where(record, val, c['value'])
         state = jax.tree_util.tree_map(
             lambda new, old: jnp.where(active, new, old),
             new_state, c['state'])
@@ -130,7 +136,6 @@ def run_rejection(key, params, state, attempt, value_init,
             tile = lambda a: jnp.tile(a, (reps,) + (1,) * (a.ndim - 1)) \
                 if a.ndim else a
             lane_idx = carry['idx']
-            lane_value = carry['value']
             carry = dict(
                 key=carry['key'],
                 params=jax.tree_util.tree_map(tile, carry['params']),
@@ -151,7 +156,9 @@ def run_rejection(key, params, state, attempt, value_init,
             winner = jnp.argmax(acc_r, axis=0)
             cols = jnp.arange(width)
             lane_done = jnp.any(acc_r, axis=0)
-            value = jnp.where(lane_done, val_r[winner, cols], lane_value)
+            # Capped lanes fall back to replica 0's chain (its latest
+            # recorded value under `latch`, its entry value otherwise).
+            value = jnp.where(lane_done, val_r[winner, cols], val_r[0])
             result = result.at[lane_idx].set(value, mode='drop')
             break
 

@@ -127,6 +127,10 @@ def _sample_divide_conquer(key, alpha, tilt, max_partition, max_rounds):
         attempt=attempt,
         value_init=jnp.zeros_like(tilt),
         max_rounds=max_rounds,
+        # Partial sums accumulate monotonically: a lane capped at
+        # max_rounds returns its progress so far, like the uncompacted
+        # loop did.
+        latch='every_round',
     )
     return total
 
@@ -247,11 +251,17 @@ def _sample_double_rejection(key, alpha, tilt, max_rounds):
     zeros = jnp.zeros(shape, dtype)
 
     def attempt(k, p, s):
+        # Memoryless joint attempt: one auxiliary proposal and, in the
+        # same round, one final proposal given it; accept iff both
+        # accept. Equivalent to the reference's two-stage chain (the
+        # accepted (U, X) has density g(u) * p_aux(u) * ref(x|u) *
+        # p_final(x|u) either way), and the memorylessness makes the
+        # tail-replica value/time-independence requirement immediate.
         k_aux, k_avp, k_ref = jax.random.split(k, 3)
         alpha, gamma, xi, psi, tilt_power = (
             p['alpha'], p['gamma'], p['xi'], p['psi'], p['tilt_power'])
 
-        # --- auxiliary attempt for lanes without an armed (U, V, z) ----- #
+        # --- auxiliary proposal ----------------------------------------- #
         u_cand = _aux2_candidate(k_aux, alpha, gamma, xi, psi, dtype)
         u_ok = u_cand < jnp.pi
         u_safe = jnp.clip(u_cand, 1e-10, jnp.pi * (1 - 1e-7))
@@ -267,27 +277,19 @@ def _sample_double_rejection(key, alpha, tilt, max_rounds):
             jnp.logical_and(u_ok, accept_prob > 0.0), v_cand <= 1.0
         )
 
-        take_aux = jnp.logical_and(jnp.logical_not(s['have_aux']), aux_ok)
-        u = jnp.where(take_aux, u_safe, s['u'])
-        v = jnp.where(take_aux, v_cand, s['v'])
-        z = jnp.where(take_aux, z_cand, s['z'])
-        have_aux = jnp.logical_or(s['have_aux'], take_aux)
-
-        # --- final attempt for lanes with an armed auxiliary draw ------- #
-        x, log_prob = _reference_rv(k_ref, u, alpha, tilt_power, z, dtype)
-        final_ok = log_prob > jnp.log(v)
-        ok = jnp.logical_and(have_aux, final_ok)
+        # --- final proposal given the auxiliary draw -------------------- #
+        x, log_prob = _reference_rv(k_ref, u_safe, alpha, tilt_power,
+                                    z_cand, dtype)
+        final_ok = log_prob > jnp.log(v_cand)
+        ok = jnp.logical_and(aux_ok, final_ok)
         value = x ** (-(1.0 - alpha) / alpha)
-        # A failed final attempt restarts the lane from the aux stage.
-        have_aux = jnp.logical_and(have_aux, final_ok)
-        return dict(have_aux=have_aux, u=u, v=v, z=z), value, ok
+        return s, value, ok
 
     result, _ = run_rejection(
         key,
         params=dict(alpha=alpha, gamma=gamma, xi=xi, psi=psi,
                     tilt_power=tilt_power),
-        state=dict(have_aux=jnp.zeros(shape, bool), u=zeros, v=zeros,
-                   z=zeros),
+        state={},
         attempt=attempt,
         value_init=zeros,
         max_rounds=max_rounds,
@@ -323,8 +325,12 @@ def sample_tilted_stable(key, char_exponent, tilt, method=None,
     """
     tilt = jnp.asarray(tilt)
     dtype = tilt.dtype
+    out_shape = tilt.shape
+    alpha = jnp.broadcast_to(jnp.asarray(char_exponent, dtype), out_shape)
+    # The compaction driver works on flat lane vectors.
+    tilt = tilt.ravel()
+    alpha = alpha.ravel()
     tilt = jnp.maximum(tilt, jnp.asarray(np.finfo(np.float32).tiny, dtype))
-    alpha = jnp.broadcast_to(jnp.asarray(char_exponent, dtype), tilt.shape)
 
     if method is None:
         use_dc = tilt ** alpha < TILT_POWER_THRESHOLD
@@ -344,4 +350,4 @@ def sample_tilted_stable(key, char_exponent, tilt, method=None,
     x_dc = _sample_divide_conquer(k_dc, alpha, tilt_dc, max_partition,
                                   max_rounds)
     x_dr = _sample_double_rejection(k_dr, alpha, tilt_dr, max_rounds)
-    return jnp.where(use_dc, x_dc, x_dr)
+    return jnp.where(use_dc, x_dc, x_dr).reshape(out_shape)

@@ -65,6 +65,10 @@ def time_tpu(X, outcome, n_iter, bridge_exp=0.5):
     from bayesbridge_tpu.utils.mcmc_summarizer import (
         compute_effective_sample_size,
     )
+    # ESS over the first 200 non-intercept coefficients (rows are
+    # coefficients, last axis is the iteration): a fixed subset covering
+    # the 10 signal columns plus 190 noise columns, to bound the FFT
+    # autocovariance cost at p=50k scale.
     ess = compute_effective_sample_size(samples['coef'][1:201])
     return n_iter / elapsed, {
         'elapsed_s': elapsed,
