@@ -356,3 +356,134 @@ class NumpyBridgeGibbs:
             'n_cg_iter': np.array(n_cg_iters),
             'n_matvec': self.n_matvec,
         }
+
+
+# --------------------------------------------------------------------- #
+# Cox proportional hazards: HMC-within-Gibbs oracle                     #
+# --------------------------------------------------------------------- #
+
+class NumpyCoxGibbs:
+    """Independent NumPy sampler for the bridge-prior Cox model.
+
+    Statistical-parity oracle for the TPU Cox chain: Breslow partial
+    likelihood with the same bridge prior and scale updates, but the
+    coefficient conditional is explored by a self-tuning HMC transition
+    written from the likelihood's definition (per-event loop collapsed to
+    prefix sums; no shared code or PRNG stream with the library).
+
+    Expects observations already ordered events-first (ascending event
+    time) then censored (descending censoring time) — feed it the output
+    of ``CoxModel.preprocess_data``. Risk-set bounds are re-derived here
+    with searchsorted rather than taken from the library.
+    """
+
+    def __init__(self, event_time, censoring_time, X, bridge_exp=.5,
+                 slab_size=np.inf, seed=0):
+        self.rng = np.random.default_rng(seed)
+        self.bridge_exp = bridge_exp
+        self.slab_size = slab_size
+        self.X = X.toarray() if sps.issparse(X) else np.asarray(X)
+        self.n, self.p = self.X.shape
+
+        event_time = np.asarray(event_time, dtype=np.float64)
+        censoring_time = np.asarray(censoring_time, dtype=np.float64)
+        n_event = int(np.sum(np.isfinite(event_time)))
+        finite_events = event_time[:n_event]
+        finite_censor = np.sort(censoring_time[n_event:])
+        # Risk set of event k: everyone whose event/censoring time is
+        # >= t_k. Events are time-sorted so that's events k0.. (k0 = first
+        # of k's ties) plus censored obs with censoring time >= t_k.
+        self.rs_start = np.searchsorted(finite_events, finite_events,
+                                        side='left')
+        n_dropped = np.searchsorted(finite_censor, finite_events,
+                                    side='left')
+        self.rs_end = self.n - 1 - n_dropped
+        self.n_event = n_event
+        # Number of risk sets containing observation j (a prefix of the
+        # event list, since starts are nondecreasing and ends
+        # nonincreasing): one difference array + cumsum.
+        bump = np.zeros(self.n + 1, dtype=np.int64)
+        np.add.at(bump, self.rs_start, 1)
+        np.add.at(bump, self.rs_end + 1, -1)
+        self.n_appearance = np.cumsum(bump[:-1])
+
+    # -- partial likelihood --------------------------------------------- #
+
+    def _loglik_grad(self, coef):
+        eta = self.X @ coef
+        eta = eta - eta.max()
+        haz = np.exp(eta)
+        csum = np.concatenate(([0.0], np.cumsum(haz)))
+        risk_sums = csum[self.rs_end + 1] - csum[self.rs_start]
+        if np.any(risk_sums <= 0.0):
+            return -np.inf, np.zeros(self.p)
+        loglik = float(np.sum(eta[:self.n_event] - np.log(risk_sums)))
+        inv_csum = np.cumsum(1.0 / risk_sums)
+        expected = haz * inv_csum[self.n_appearance - 1]
+        d = np.zeros(self.n)
+        d[:self.n_event] = 1.0
+        grad = self.X.T @ (d - expected)
+        return loglik, grad
+
+    def _logp_grad(self, coef, prior_prec):
+        loglik, grad = self._loglik_grad(coef)
+        logp = loglik - 0.5 * np.sum(prior_prec * coef ** 2)
+        return logp, grad - prior_prec * coef
+
+    # -- scale updates (shared conditionals with the linear/logit oracle) #
+
+    _update_gscale = NumpyBridgeGibbs._update_gscale
+    _update_lscale = NumpyBridgeGibbs._update_lscale
+    _prior_shrunk_scale = NumpyBridgeGibbs._prior_shrunk_scale
+
+    # -- HMC transition --------------------------------------------------- #
+
+    def _hmc_step(self, coef, prior_sd, stepsize, n_leapfrog):
+        """One MH-corrected leapfrog trajectory in coordinates scaled by
+        the prior sd (so the Gaussian conditional is near-isotropic)."""
+        scale = prior_sd
+        prior_prec = 1.0 / prior_sd ** 2
+
+        def logp_grad_q(q):
+            logp, g = self._logp_grad(scale * q, prior_prec)
+            return logp, scale * g
+
+        q = coef / scale
+        mom = self.rng.standard_normal(self.p)
+        logp0, g = logp_grad_q(q)
+        ham0 = -logp0 + 0.5 * np.sum(mom ** 2)
+        for _ in range(n_leapfrog):
+            mom = mom + 0.5 * stepsize * g
+            q = q + stepsize * mom
+            logp, g = logp_grad_q(q)
+            if not np.isfinite(logp):
+                return coef, False
+            mom = mom + 0.5 * stepsize * g
+        ham1 = -logp + 0.5 * np.sum(mom ** 2)
+        accept = np.log(self.rng.uniform()) < ham0 - ham1
+        return (scale * q if accept else coef), bool(accept)
+
+    # -- the chain ------------------------------------------------------- #
+
+    def run(self, n_iter, n_burnin=0, gscale_init=0.1, thin=1,
+            target_accept=0.9, n_leapfrog=16):
+        coef = np.zeros(self.p)
+        gscale = gscale_init
+        lscale = np.ones(self.p)
+        log_step = np.log(0.1)
+
+        kept = []
+        for it in range(1, n_iter + 1):
+            prior_sd = self._prior_shrunk_scale(gscale, lscale)
+            coef, accepted = self._hmc_step(
+                coef, prior_sd, np.exp(log_step), n_leapfrog)
+            # Robbins-Monro drift of the stepsize toward the target
+            # acceptance rate, frozen after burn-in.
+            if it <= max(n_burnin, 1):
+                log_step += (float(accepted) - target_accept) \
+                    / max(it ** 0.6, 1.0)
+            gscale = self._update_gscale(coef)
+            lscale = self._update_lscale(gscale, coef)
+            if it > n_burnin and (it - n_burnin) % thin == 0:
+                kept.append(coef.copy())
+        return {'coef': np.array(kept).T}

@@ -32,15 +32,6 @@ from . import step as step_mod
 
 _SAVABLE_PARAMS = ('coef', 'local_scale', 'global_scale', 'obs_prec', 'logp')
 
-# Host-side hook for in-scan status printing (jax.debug.callback target).
-_status_state = {'manager': None, 'n_iter': 0}
-
-
-def _status_printer(mcmc_iter):
-    manager = _status_state.get('manager')
-    if manager is not None:
-        manager.print_status(mcmc_iter, _status_state['n_iter'])
-
 
 class BayesBridge:
     """Gibbs sampler for Bayesian bridge sparse regression."""
@@ -94,12 +85,6 @@ class BayesBridge:
             options = SamplerOptions.pick_default_and_create(
                 coef_sampler_type, options, self.model.name,
                 self.model.design)
-        if self.model.name == 'linear' \
-                and options.coef_sampler_type in ('hmc', 'nuts'):
-            raise NotImplementedError(
-                "HMC on the linear model is not supported (the collapsed "
-                "Gaussian samplers 'cholesky'/'cg' are exact there).")
-
         if init is None:
             init = {'global_scale': 0.1}
 
@@ -137,8 +122,8 @@ class BayesBridge:
         status_interval = 0
         if n_status_update > 0:
             status_interval = max(1, n_iter // min(n_iter, n_status_update))
-            _status_state['manager'] = self.manager
-            _status_state['n_iter'] = n_iter
+            cfg._status['manager'] = self.manager
+            cfg._status['n_iter'] = n_iter
 
         carry, outputs = step_mod.run_chain(
             cfg, self.model, carry, n_burnin, n_sample, thin, n_remainder,

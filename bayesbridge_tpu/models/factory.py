@@ -1,6 +1,13 @@
-"""RegressionModel factory: data preprocessing + model construction.
+"""User-facing constructor that turns raw data into a likelihood model.
 
-Reference behavior: bayesbridge/model/factory.py:10-68.
+This is the package's data-ingestion boundary: pick the device-friendly
+design-matrix storage (dense jnp block vs the sparse hybrid/ELL layouts),
+apply the one-time host-side preprocessing each family needs, and hand
+back the matching model object. Behavioral contract follows the
+reference's factory (bayesbridge/model/factory.py:10-68): the Cox family
+never gets an intercept, its observations are re-ordered by risk set up
+front, and a bare outcome array under 'logit' means one Bernoulli trial
+per row.
 """
 
 from warnings import warn
@@ -13,49 +20,64 @@ from .cox import CoxModel
 from ..design import DenseDesignMatrix, SparseDesignMatrix
 
 
+def _build_linear(outcome, design):
+    return LinearModel(outcome, design)
+
+
+def _build_logit(outcome, design):
+    # A tuple is (success count, trial count); anything else is a
+    # binary response vector, for which the trial count is implicit.
+    if isinstance(outcome, tuple):
+        counts, trials = outcome
+    else:
+        counts, trials = outcome, None
+    return LogisticModel(counts, trials, design)
+
+
+_BUILDERS = {'linear': _build_linear, 'logit': _build_logit}
+
+
 def RegressionModel(outcome, X, family='linear',
                     add_intercept=None, center_predictor=True, dtype=None):
-    """Prepare input data for BayesBridge.
+    """Package raw (outcome, X) data as a likelihood model for BayesBridge.
 
     Parameters
     ----------
-    outcome : array, or tuple of two arrays
-        (n_success, n_trial) for 'logit' (a single array means binary);
-        (event_time, censoring_time) for 'cox'.
+    outcome :
+        'linear' — response vector; 'logit' — (success count, trial
+        count) pair, or a single binary vector; 'cox' — (event time,
+        censoring time) pair.
     X : numpy array or scipy sparse matrix
+        Design matrix. Sparse input selects the TPU sparse storage
+        backends; dense input is stored as one device block.
     family : {'linear', 'logit', 'cox'}
-    add_intercept : bool or None
-        None adds an intercept except for the Cox family.
+    add_intercept : bool, optional
+        Defaults to True for linear/logit. The Cox partial likelihood
+        cannot identify an intercept, so it is always dropped there.
     center_predictor : bool
-    dtype : optional float dtype for the device-resident design
+        Column-center X (implicitly — never materialized for sparse
+        storage).
+    dtype : optional float dtype for the device-resident design.
     """
-    if add_intercept is None:
-        add_intercept = (family != 'cox')
-
     if family == 'cox':
         if add_intercept:
-            add_intercept = False
             warn("Intercept is not identifiable in the Cox model and "
                  "won't be added.")
-        event_time, censoring_time = outcome
         event_time, censoring_time, X = CoxModel.preprocess_data(
-            event_time, censoring_time, X)
-
-    DesignMatrix = SparseDesignMatrix if sps.issparse(X) \
-        else DenseDesignMatrix
-    design = DesignMatrix(
-        X, add_intercept=add_intercept, center_predictor=center_predictor,
-        dtype=dtype,
-    )
-
-    if family == 'linear':
-        return LinearModel(outcome, design)
-    if family == 'logit':
-        if isinstance(outcome, tuple):
-            n_success, n_trial = outcome
-        else:
-            n_success, n_trial = outcome, None
-        return LogisticModel(n_success, n_trial, design)
-    if family == 'cox':
+            outcome[0], outcome[1], X)
+        design = _make_design(X, False, center_predictor, dtype)
         return CoxModel(event_time, censoring_time, design)
-    raise NotImplementedError(family)
+
+    builder = _BUILDERS.get(family)
+    if builder is None:
+        raise NotImplementedError(family)
+    design = _make_design(
+        X, True if add_intercept is None else add_intercept,
+        center_predictor, dtype)
+    return builder(outcome, design)
+
+
+def _make_design(X, add_intercept, center_predictor, dtype):
+    cls = SparseDesignMatrix if sps.issparse(X) else DenseDesignMatrix
+    return cls(X, add_intercept=add_intercept,
+               center_predictor=center_predictor, dtype=dtype)

@@ -64,7 +64,12 @@ def gibbs_chains(bridge, n_iter, n_chains, n_burnin=0, thin=1, seed=None,
     coef, obs_prec, lscale, gscale, init, _ = bridge.initialize_chain(
         init, bridge.prior.bridge_exp, cfg)
 
-    keys = jax.random.split(bridge.rg.key, n_chains)
+    # Advance the generator past the split so later direct draws from
+    # bridge.rg never reuse a chain's key (mirrors the single-chain
+    # path's key hand-back after the scan).
+    keys = jax.random.split(bridge.rg.key, n_chains + 1)
+    bridge.rg._key = keys[-1]
+    keys = keys[:n_chains]
     carry0 = step_mod.init_carry(cfg, keys[0], coef, obs_prec, gscale,
                                  lscale)
     carry = jax.tree_util.tree_map(

@@ -120,6 +120,12 @@ def sample_coef_by_hmc(cfg, model, key, carry):
 
     k_pc, k_dtjit, k_timejit, k_kernel = jax.random.split(key, 4)
 
+    # Linear family: the coefficient conditional depends on the current
+    # observation precision (reference bayesbridge.py:388-391 passes the
+    # model through with obs_prec in scope; our pure factories take it
+    # explicitly). Logit/Cox log-likelihoods don't use it.
+    obs_prec = carry['obs_prec'] if model.name == 'linear' else None
+
     coef_sd = estimate_coef_precond_scale_sd(summ)
     precond_scale, precond_prior_prec = compute_preconditioning_scale(
         gscale, lscale, coef_sd,
@@ -129,7 +135,8 @@ def sample_coef_by_hmc(cfg, model, key, carry):
     coef_guess = extrapolate_coef_condmean(
         summ, gscale, lscale, cfg.n_unshrunk, cfg.slab_size)
     hess_matvec = make_precond_hessian_matvec(
-        model, coef_guess, precond_scale, precond_prior_prec)
+        model, coef_guess, precond_scale, precond_prior_prec,
+        obs_prec=obs_prec)
     pc_guess = jnp.where(
         summ['pc_n_averaged'] > 0, summ['pc'],
         jax.random.normal(k_pc, (cfg.n_pred,), dtype))
@@ -154,7 +161,7 @@ def sample_coef_by_hmc(cfg, model, key, carry):
     # --- transition ---------------------------------------------------- #
     q0 = coef / precond_scale
     f = make_precond_logp_and_grad(
-        model, precond_scale, precond_prior_prec)
+        model, precond_scale, precond_prior_prec, obs_prec=obs_prec)
 
     info = {
         'stepsize': dt,

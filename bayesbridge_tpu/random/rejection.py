@@ -41,9 +41,11 @@ rejection: the aux-retry count is independent of the accepted auxiliary
 value). It does NOT hold for chains whose round count depends on which
 mixture piece is being proposed — the Polya-Gamma sampler's
 inverse-Gaussian piece retries across rounds while its exponential piece
-never does, so it must pass ``tail_replicas=1`` (selection would
-over-sample the exponential piece; observed as a ~10%% bias in the
-PG(1, 1) mean at width 100).
+never does (selection would over-sample the exponential piece; observed
+as a ~10%% bias in the PG(1, 1) mean at width 100). Because each caller
+must PROVE value/time independence, the default is the statistically
+safe ``tail_replicas=1``; callers with an argued-and-tested proof (the
+two tilted-stable kernels) opt in to replicas explicitly.
 """
 
 import jax
@@ -66,7 +68,7 @@ def _plan_widths(n, min_width, shrink):
 
 def run_rejection(key, params, state, attempt, value_init,
                   min_width=512, shrink=4, max_rounds=256,
-                  tail_replicas=8, latch='on_accept'):
+                  tail_replicas=1, latch='on_accept'):
     """Run per-lane rejection chains to acceptance, with compaction.
 
     Parameters

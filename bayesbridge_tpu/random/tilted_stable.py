@@ -131,6 +131,12 @@ def _sample_divide_conquer(key, alpha, tilt, max_partition, max_rounds):
         # max_rounds returns its progress so far, like the uncompacted
         # loop did.
         latch='every_round',
+        # Replicated tail chains are unbiased here: each accepted
+        # partition value is an iid tilted draw and the geometric wait
+        # preceding it is independent of that value, so a lane's total is
+        # independent of its finish time (law-tested in
+        # tests/test_rejection.py / test_random_kernels.py).
+        tail_replicas=8,
     )
     return total
 
@@ -293,6 +299,10 @@ def _sample_double_rejection(key, alpha, tilt, max_rounds):
         attempt=attempt,
         value_init=zeros,
         max_rounds=max_rounds,
+        # Memoryless iid attempts: the accepted value is independent of
+        # the geometric acceptance time, so first-finisher replica
+        # selection is unbiased (see run_rejection's docstring).
+        tail_replicas=8,
     )
     return result
 

@@ -72,6 +72,12 @@ class GibbsStepConfig:
             if len(finite_sd) else 0.0
         # HMC stepsize-adapter target (reg_coef_sampler.py:38-39).
         self._hmc_target_log10_error = target_log10_hamiltonian_error(0.95)
+        # Host-side status hook (set per run by BayesBridge.gibbs). Lives
+        # on the config — which is per-BayesBridge-instance and the jit's
+        # static argument — so concurrent samplers never share printer
+        # state. The debug callback reads it late (at call time), so the
+        # cached trace picks up each run's manager.
+        self._status = {'manager': None, 'n_iter': 0}
 
 
 # --------------------------------------------------------------------- #
@@ -323,8 +329,9 @@ def _maybe_status(cfg, it, status_interval):
         return
 
     def report(iteration):
-        from . import bridge
-        bridge._status_printer(int(iteration) + 1)
+        manager = cfg._status.get('manager')
+        if manager is not None:
+            manager.print_status(int(iteration) + 1, cfg._status['n_iter'])
 
     lax.cond(
         (it + 1) % status_interval == 0,

@@ -1,4 +1,11 @@
-"""Shared test fixtures (reference: tests/helper.py:8-41)."""
+"""Simulated datasets shared across the test modules.
+
+One entry point, ``simulate_data``, producing the same workload shape the
+reference's suite exercises (tests/helper.py:8-41 upstream): a mostly
+binary sparse design with Gaussian coefficients, and a family-specific
+outcome. Cox data comes back already risk-set-sorted so tests can build
+models directly.
+"""
 
 import numpy as np
 import scipy.sparse as sps
@@ -8,30 +15,42 @@ from bayesbridge_tpu.design import SparseDesignMatrix, DenseDesignMatrix
 from bayesbridge_tpu.utils.simulate_data import simulate_design
 
 
+def _linear_outcome(X, beta):
+    return LinearModel.simulate_outcome(X, beta, noise_sd=1.), X
+
+
+def _logit_outcome(X, beta):
+    n = X.shape[0]
+    trials = 1 + np.random.binomial(np.arange(n) + 1, .5)
+    return (LogisticModel.simulate_outcome(trials, X, beta), trials), X
+
+
+def _cox_outcome(X, beta):
+    event, censor = CoxModel.simulate_outcome(X, beta)
+    event, censor, X = CoxModel.preprocess_data(event, censor, X)
+    return (event, censor), X
+
+
+_OUTCOME_FNS = {
+    'linear': _linear_outcome,
+    'logit': _logit_outcome,
+    'cox': _cox_outcome,
+}
+
+
 def simulate_data(model, n_obs=100, n_pred=50, seed=None,
                   return_design_mat=False):
+    """Return (outcome, X, beta) for the given model family."""
     if seed is not None:
         np.random.seed(seed)
+    if model not in _OUTCOME_FNS:
+        raise NotImplementedError(model)
 
     X = simulate_design(n_obs, n_pred, binary_frac=.9)
     beta = np.random.randn(n_pred)
-    if model == 'linear':
-        y = LinearModel.simulate_outcome(X, beta, noise_sd=1.)
-    elif model == 'logit':
-        n_trial = 1 + np.random.binomial(np.arange(n_obs) + 1, .5)
-        n_success = LogisticModel.simulate_outcome(n_trial, X, beta)
-        y = (n_success, n_trial)
-    elif model == 'cox':
-        event_time, censoring_time = CoxModel.simulate_outcome(X, beta)
-        event_time, censoring_time, X = \
-            CoxModel.preprocess_data(event_time, censoring_time, X)
-        y = (event_time, censoring_time)
-    else:
-        raise NotImplementedError()
+    outcome, X = _OUTCOME_FNS[model](X, beta)
 
     if return_design_mat:
-        if sps.issparse(X):
-            X = SparseDesignMatrix(X, add_intercept=False)
-        else:
-            X = DenseDesignMatrix(X, add_intercept=False)
-    return y, X, beta
+        cls = SparseDesignMatrix if sps.issparse(X) else DenseDesignMatrix
+        X = cls(X, add_intercept=False)
+    return outcome, X, beta

@@ -28,6 +28,7 @@ DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 TEST_COMBOS = [
     ('linear', 'cg', 'dense', False),
+    ('linear', 'nuts', 'dense', False),
     ('logit', 'cholesky', 'dense', False),
     ('logit', 'cholesky', 'dense', True),  # restart in the middle
     ('logit', 'cg', 'sparse', False),

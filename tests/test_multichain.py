@@ -30,6 +30,7 @@ def _make_bridge():
     return BayesBridge(model, prior)
 
 
+@pytest.mark.slow
 def test_vmapped_chains_match_sequential_runs():
     bridge = _make_bridge()
     n_chains, n_iter = 3, 12
@@ -59,6 +60,7 @@ def test_vmapped_chains_match_sequential_runs():
             samples['coef'][c], rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_chains_shard_over_mesh():
     n_dev = len(jax.devices())
     if n_dev < 2:

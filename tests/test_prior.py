@@ -65,6 +65,7 @@ def _last_gibbs_sample(bridge, init, seed=0):
     return samples['coef'][:, -1]
 
 
+@pytest.mark.slow
 def test_gscale_paramet_invariance():
     """Sampler output must be invariant to the parametrization under a
     scale-invariant prior, differ under an informative one, and re-agree
