@@ -1,0 +1,114 @@
+"""Sparse-matvec backend benchmark on the TPU (VERDICT r1 item 2).
+
+Times X @ v and X' @ u for the three SparseDesignMatrix backends at an
+OHDSI-style density on a design whose f32 dense form exceeds the hybrid
+HBM budget, i.e. the regime the reference serves with the MKL CSR matvec
+(reference: bayesbridge/design_matrix/mkl_matvec.py:17-56).
+
+Usage: python -m baselines.bench_sparse_matvec [--n N] [--p P]
+           [--density D] [--reps R]
+"""
+
+import argparse
+import gc
+import time
+
+import numpy as np
+import scipy.sparse as sps
+
+
+def build_sparse(n, p, density, seed=0):
+    rng = np.random.default_rng(seed)
+    nnz_per_row = max(1, int(round(density * p)))
+    cols = rng.integers(0, p, size=(n, nnz_per_row))
+    indptr = np.arange(n + 1, dtype=np.int64) * nnz_per_row
+    X = sps.csr_matrix(
+        (np.ones(n * nnz_per_row), cols.ravel(), indptr), shape=(n, p))
+    X.sum_duplicates()
+    X.data[:] = 1.0
+    return X
+
+
+def time_backend(X, backend, reps, jax, jnp):
+    import os
+    from bayesbridge_tpu.design import SparseDesignMatrix
+    tic = time.perf_counter()
+    design = SparseDesignMatrix(X, center_predictor=False,
+                                add_intercept=False, dtype=np.float32,
+                                backend=backend)
+    build_s = time.perf_counter() - tic
+    n, p = design.shape
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.standard_normal(p), jnp.float32)
+    u = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    dot = jax.jit(lambda d, x: d.dot(x))
+    tdot = jax.jit(lambda d, x: d.Tdot(x))
+    out_d = jax.block_until_ready(dot(design, v))
+    out_t = jax.block_until_ready(tdot(design, u))
+
+    def bench(f, x):
+        # Per-call blocking: async dispatch can otherwise overlap or
+        # elide work and report fantasy numbers.
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(design, x))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t_dot, t_tdot = bench(dot, v), bench(tdot, u)
+    result = dict(backend=backend, build_s=build_s,
+                  dot_ms=t_dot * 1e3, tdot_ms=t_tdot * 1e3,
+                  out_dot=np.asarray(out_d, np.float64),
+                  out_tdot=np.asarray(out_t, np.float64))
+    del design, v, u
+    gc.collect()
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--n', type=int, default=262144)
+    ap.add_argument('--p', type=int, default=16384)
+    ap.add_argument('--density', type=float, default=0.01)
+    ap.add_argument('--reps', type=int, default=20)
+    ap.add_argument('--ell-reps', type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    X = build_sparse(args.n, args.p, args.density)
+    nnz = X.nnz
+    f32_gb = args.n * args.p * 4 / 1e9
+    print(f"n={args.n} p={args.p} density={args.density} nnz={nnz:.3g} "
+          f"(dense f32 {f32_gb:.1f} GB) backend={jax.default_backend()}")
+
+    results = {}
+    for backend, reps in [('ell', args.ell_reps),
+                          ('bitpack', args.reps),
+                          ('hybrid', args.reps)]:
+        try:
+            results[backend] = time_backend(X, backend, reps, jax, jnp)
+        except Exception as e:
+            print(f"{backend}: skipped ({type(e).__name__}: {str(e)[:80]})")
+
+    ref = results.get('ell') or next(iter(results.values()))
+    print(f"\n{'backend':>8} {'build_s':>8} {'dot_ms':>9} {'Tdot_ms':>9} "
+          f"{'Gnnz/s':>8} {'vs_ell':>7}")
+    for name, r in results.items():
+        pair_ms = r['dot_ms'] + r['tdot_ms']
+        ref_pair = ref['dot_ms'] + ref['tdot_ms']
+        gnnz = 2 * nnz / (pair_ms / 1e3) / 1e9
+        print(f"{name:>8} {r['build_s']:8.1f} {r['dot_ms']:9.2f} "
+              f"{r['tdot_ms']:9.2f} {gnnz:8.2f} {ref_pair / pair_ms:6.1f}x")
+        for key in ('out_dot', 'out_tdot'):
+            err = np.max(np.abs(r[key] - ref[key])) \
+                / (np.max(np.abs(ref[key])) + 1e-12)
+            if err > 1e-4:
+                print(f"  WARNING {name}.{key} relerr {err:.2e} vs ell")
+
+
+if __name__ == '__main__':
+    main()

@@ -22,10 +22,20 @@ hardware is actually fast at. Two interchangeable backends:
     faster than gather-based sparse matvecs and uses comparable memory
     to a dual-CSR f32 representation.
 
+``bitpack``
+    Beyond-HBM scale for mostly-binary designs (the OHDSI regime the
+    reference serves with MKL CSR matvecs, mkl_matvec.py:17-56): 0/1
+    columns stored as a dual bitmap — ONE bit per element in both
+    orientations — with matvecs evaluated by the Pallas byte-LUT gather
+    kernel in :mod:`.bitlut` (~480 Gelem/s on v5e, ~65x the ELL gather
+    path at 1% density, 32x less HBM than f32 dense). Non-binary
+    columns ride in a narrow dense side block.
+
 ``ell``
     Padded dual-ELL (row-major and column-major) gather layout —
     memory proportional to nnz; used for extremely sparse designs where
-    dense blocks would not fit HBM, and on CPU where gathers are cheap.
+    neither dense blocks nor bitmaps pay off, and on CPU where gathers
+    are cheap.
 
 Shared semantics regardless of backend (matching the reference):
 centering is a rank-1 ``column_offset`` correction, never materialized
@@ -43,12 +53,17 @@ import scipy.sparse as sps
 
 from .abstract import AbstractDesignMatrix
 from .ell import dual_ell_from_scipy
+from . import bitlut
 from ..native import sparsekit
 from ..utils.dtypes import default_float
 
 _DENSE_FISHER_MAX_ELEMS = 5e7  # lazy-densify guard for the Cholesky path
 # Hybrid blocks must fit comfortably in HBM next to everything else.
 _HYBRID_MAX_BYTES = float(os.environ.get('BB_HYBRID_MAX_BYTES', 8e9))
+# Dual bitmaps (n*p/4 bytes total) get the same residency budget.
+_BITPACK_MAX_BYTES = float(os.environ.get('BB_BITPACK_MAX_BYTES', 8e9))
+# Minimum share of binary columns for the bitpack backend to pay off.
+_BITPACK_MIN_BINARY_FRAC = 0.5
 
 
 def _densify_columns(X_csc, cols, out_dtype):
@@ -97,6 +112,13 @@ def _int8_exact_columns(X_csc):
     return _exact_column_mask(X_csc, ok)
 
 
+def _binary_column_mask(X_csc):
+    """Columns whose stored entries are all exactly 1 (0/1-valued)."""
+    if X_csc.nnz == 0:
+        return np.ones(X_csc.shape[1], dtype=bool)
+    return _exact_column_mask(X_csc, X_csc.data == 1.0)
+
+
 @jax.tree_util.register_pytree_node_class
 class SparseDesignMatrix(AbstractDesignMatrix):
 
@@ -109,11 +131,14 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         self._dense_cache = None
         if _parts is not None:  # pytree unflatten path
             (self.backend, self._shape_main, self._nnz,
-             self.exact_is_binary) = _parts[0]
+             self.exact_is_binary, self._bitpack_meta) = _parts[0]
             arrays = _parts[1]
             if self.backend == 'hybrid':
                 (self.X_exact, self.X_float, self.exact_cols,
                  self.float_cols, self.column_offset) = arrays
+            elif self.backend == 'bitpack':
+                (self.bits_col, self.bits_row, self.X_float,
+                 self.bin_cols, self.float_cols, self.column_offset) = arrays
             else:
                 (self.row_idx, self.row_val, self.col_idx, self.col_val,
                  self.column_offset) = arrays
@@ -141,18 +166,32 @@ class SparseDesignMatrix(AbstractDesignMatrix):
 
         if backend == 'auto':
             n, p = X.shape
-            exact_frac = float(np.mean(_bf16_exact_columns(X.tocsc()))) \
+            X_csc = X.tocsc()
+            exact_frac = float(np.mean(_bf16_exact_columns(X_csc))) \
+                if p else 1.0
+            binary_frac = float(np.mean(_binary_column_mask(X_csc))) \
                 if p else 1.0
             exact_bytes = 2 if dtype == np.float32 else dtype.itemsize
             hybrid_bytes = n * p * (exact_frac * exact_bytes
                                     + (1 - exact_frac) * dtype.itemsize)
             ell_bytes = 2 * X.nnz * (4 + dtype.itemsize)
-            backend = 'hybrid' if (hybrid_bytes <= _HYBRID_MAX_BYTES
-                                   or hybrid_bytes <= ell_bytes) else 'ell'
+            bitpack_bytes = n * p * binary_frac / 4.0 \
+                + n * p * (1 - binary_frac) * dtype.itemsize
+            if hybrid_bytes <= _HYBRID_MAX_BYTES or hybrid_bytes <= ell_bytes:
+                backend = 'hybrid'
+            elif (binary_frac >= _BITPACK_MIN_BINARY_FRAC
+                  and bitpack_bytes <= _BITPACK_MAX_BYTES
+                  and dtype == np.float32):
+                backend = 'bitpack'
+            else:
+                backend = 'ell'
         self.backend = backend
+        self._bitpack_meta = None
 
         if backend == 'hybrid':
             self._build_hybrid(X, dtype)
+        elif backend == 'bitpack':
+            self._build_bitpack(X, dtype)
         elif backend == 'ell':
             self._build_ell(X, dtype)
         else:
@@ -193,6 +232,47 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         self.X_float = jnp.asarray(
             _densify_columns(X_csc, float_cols, dtype))
 
+    def _build_bitpack(self, X, dtype):
+        """Dual bitmap over the 0/1 columns (one bit per element in each
+        orientation, built chunk-wise so no full dense boolean transient
+        ever materializes) plus a narrow dense block for the rest."""
+        X_csc = X.tocsc()
+        n, p = X.shape
+        binary_mask = _binary_column_mask(X_csc)
+        bin_cols = np.where(binary_mask)[0]
+        float_cols = np.where(~binary_mask)[0]
+        p_bin = len(bin_cols)
+        self.exact_is_binary = True
+        self.bin_cols = jnp.asarray(bin_cols, jnp.int32)
+        self.float_cols = jnp.asarray(float_cols, jnp.int32)
+        self.X_float = jnp.asarray(
+            _densify_columns(X_csc, float_cols, dtype))
+
+        # Static padding plans for the two product directions.
+        gcol_pad, n_pad, k_dot = bitlut.plan_blocks(p_bin, n)
+        grow_pad, pbin_pad, k_tdot = bitlut.plan_blocks(n, p_bin)
+        # Pallas runs in interpret mode off-TPU (the CPU test path).
+        interpret = jax.default_backend() != 'tpu'
+        self._bitpack_meta = (p_bin, gcol_pad, n_pad, k_dot,
+                              grow_pad, pbin_pad, k_tdot, interpret)
+
+        bits_col = np.zeros((gcol_pad, n_pad), dtype=np.uint8)
+        bits_row = np.zeros((grow_pad, pbin_pad), dtype=np.uint8)
+        if p_bin:
+            # O(nnz) packing straight from the index structure: indices
+            # within one column (CSC) / row (CSR) are unique, so the
+            # fancy-indexed |= never collides.
+            X_bc = X_csc[:, bin_cols]
+            for j in range(p_bin):
+                rows = X_bc.indices[X_bc.indptr[j]:X_bc.indptr[j + 1]]
+                bits_col[j >> 3, rows] |= np.uint8(1 << (j & 7))
+            X_br = X_bc.tocsr()
+            for i in range(n):
+                cols = X_br.indices[X_br.indptr[i]:X_br.indptr[i + 1]]
+                bits_row[i >> 3, cols] |= np.uint8(1 << (i & 7))
+        self.bits_col = jnp.asarray(bits_col)
+        self.bits_row = jnp.asarray(bits_row)
+
     def _build_ell(self, X, dtype):
         self.exact_is_binary = False
         (row_idx, row_val), (col_idx, col_val) = \
@@ -208,20 +288,26 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         if self.backend == 'hybrid':
             arrays = (self.X_exact, self.X_float, self.exact_cols,
                       self.float_cols, self.column_offset)
+        elif self.backend == 'bitpack':
+            arrays = (self.bits_col, self.bits_row, self.X_float,
+                      self.bin_cols, self.float_cols, self.column_offset)
         else:
             arrays = (self.row_idx, self.row_val, self.col_idx,
                       self.col_val, self.column_offset)
         aux = (self.intercept_added, self.centered, self.backend,
                self._shape_main, self._nnz,
-               getattr(self, 'exact_is_binary', False))
+               getattr(self, 'exact_is_binary', False),
+               getattr(self, '_bitpack_meta', None))
         return arrays, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        intercept_added, centered, backend, shape_main, nnz, binary = aux
+        (intercept_added, centered, backend, shape_main, nnz, binary,
+         bitpack_meta) = aux
         return cls(None, center_predictor=centered,
                    add_intercept=intercept_added,
-                   _parts=((backend, shape_main, nnz, binary), children))
+                   _parts=((backend, shape_main, nnz, binary,
+                            bitpack_meta), children))
 
     # -- shape / metadata ------------------------------------------------ #
 
@@ -242,9 +328,12 @@ class SparseDesignMatrix(AbstractDesignMatrix):
 
     @property
     def dtype(self):
-        if self.backend == 'hybrid':
-            return self.X_float.dtype if self.X_float.size \
-                else jnp.promote_types(self.X_exact.dtype, jnp.float32)
+        if self.backend in ('hybrid', 'bitpack'):
+            if self.X_float.size:
+                return self.X_float.dtype
+            if self.backend == 'bitpack':
+                return self.column_offset.dtype
+            return jnp.promote_types(self.X_exact.dtype, jnp.float32)
         return self.row_val.dtype
 
     # -- core products --------------------------------------------------- #
@@ -256,12 +345,34 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         Xe = self.X_exact
         return Xe.astype(jnp.bfloat16) if Xe.dtype == jnp.int8 else Xe
 
+    def _bitpack_dot_bin(self, v_bin):
+        """Binary-column part of X @ v via the byte-LUT Pallas kernel."""
+        p_bin, gcol_pad, n_pad, k_dot, *_, interpret = self._bitpack_meta
+        v_pad = jnp.zeros(8 * gcol_pad, v_bin.dtype).at[:p_bin].set(v_bin)
+        return bitlut.bitpacked_matvec(
+            self.bits_col, v_pad, self._shape_main[0], k_dot,
+            interpret=interpret)
+
+    def _bitpack_tdot_bin(self, u):
+        """Binary-column part of X' @ u via the same kernel on the
+        row-packed bitmap."""
+        (p_bin, _, _, _, grow_pad, _, k_tdot,
+         interpret) = self._bitpack_meta
+        u_pad = jnp.zeros(8 * grow_pad, u.dtype).at[:u.shape[0]].set(u)
+        return bitlut.bitpacked_matvec(
+            self.bits_row, u_pad, p_bin, k_tdot, interpret=interpret)
+
     def main_dot(self, v_main):
         """(X_main - 1 column_offset') @ v_main."""
         if self.backend == 'hybrid':
             # bf16 @ f32 promotes: XLA fuses the up-convert into the MXU
             # matmul, so HBM traffic stays at the stored (int8/bf16) width.
             result = self._exact_block() @ jnp.take(v_main, self.exact_cols)
+            if self.float_cols.size:
+                result = result + self.X_float @ jnp.take(
+                    v_main, self.float_cols)
+        elif self.backend == 'bitpack':
+            result = self._bitpack_dot_bin(jnp.take(v_main, self.bin_cols))
             if self.float_cols.size:
                 result = result + self.X_float @ jnp.take(
                     v_main, self.float_cols)
@@ -277,6 +388,12 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             p_main = self._shape_main[1]
             result = jnp.zeros(p_main, out_dtype)
             result = result.at[self.exact_cols].set(self._exact_block().T @ u)
+            if self.float_cols.size:
+                result = result.at[self.float_cols].set(self.X_float.T @ u)
+        elif self.backend == 'bitpack':
+            p_main = self._shape_main[1]
+            result = jnp.zeros(p_main, self.column_offset.dtype)
+            result = result.at[self.bin_cols].set(self._bitpack_tdot_bin(u))
             if self.float_cols.size:
                 result = result.at[self.float_cols].set(self.X_float.T @ u)
         else:
@@ -309,6 +426,18 @@ class SparseDesignMatrix(AbstractDesignMatrix):
 
     def _weighted_col_moments(self, weight, power):
         """sum_i weight_i * X_ij^power per main column j."""
+        if self.backend == 'bitpack':
+            # 0/1 bits are idempotent under powers: both moments are the
+            # plain weighted column sums X' w for the binary block.
+            out_dtype = self.column_offset.dtype
+            p_main = self._shape_main[1]
+            r = jnp.zeros(p_main, out_dtype)
+            r = r.at[self.bin_cols].set(self._bitpack_tdot_bin(weight))
+            if self.float_cols.size:
+                Xf = self.X_float * self.X_float if power == 2 \
+                    else self.X_float
+                r = r.at[self.float_cols].set(Xf.T @ weight)
+            return r
         if self.backend == 'hybrid':
             out_dtype = self.column_offset.dtype
             Xe = self._exact_block()
@@ -398,6 +527,20 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         if self.backend == 'hybrid':
             X = jnp.zeros((n, p_main), dtype)
             X = X.at[:, self.exact_cols].set(self.X_exact.astype(dtype))
+            if self.float_cols.size:
+                X = X.at[:, self.float_cols].set(self.X_float.astype(dtype))
+            return X
+        if self.backend == 'bitpack':
+            p_bin = self._bitpack_meta[0]
+            X = jnp.zeros((n, p_main), dtype)
+            if p_bin:
+                n_groups = -(-p_bin // 8)
+                bytes_gn = self.bits_col[:n_groups, :n]  # (groups, n)
+                bits = (bytes_gn[:, :, None].astype(jnp.int32)
+                        >> jnp.arange(8)) & 1  # (groups, n, 8)
+                X_bin = jnp.moveaxis(bits, 1, 0).reshape(n, 8 * n_groups)
+                X = X.at[:, self.bin_cols].set(
+                    X_bin[:, :p_bin].astype(dtype))
             if self.float_cols.size:
                 X = X.at[:, self.float_cols].set(self.X_float.astype(dtype))
             return X

@@ -10,10 +10,13 @@ axis runs chains on separate devices with zero code changes (XLA/GSPMD
 partitions the batched program; chains never communicate, so no
 collectives are inserted on the hot path).
 
-All chains share the deterministic initialization (the reference's
-semantics for a fixed ``init``); they differ only through their PRNG
-keys, split once from the seed. Cross-chain diagnostics (split R-hat,
-pooled ESS) live in :mod:`bayesbridge_tpu.utils.mcmc_summarizer`.
+Chains can share one deterministic initialization (the reference's
+semantics for a fixed ``init``) or take PER-CHAIN inits — pass a
+sequence of init dicts for the overdispersed starting points that make
+split-R-hat meaningful. ``gibbs_chains_resume`` continues all chains
+from their exact final states (same carry-is-the-checkpoint contract as
+the single-chain ``gibbs_resume``). Cross-chain diagnostics (split
+R-hat, pooled ESS) live in :mod:`bayesbridge_tpu.utils.mcmc_summarizer`.
 """
 
 import numpy as np
@@ -24,78 +27,28 @@ from .gibbs_util import SamplerOptions
 from . import step as step_mod
 
 
-def gibbs_chains(bridge, n_iter, n_chains, n_burnin=0, thin=1, seed=None,
-                 init=None, params_to_save=('coef', 'global_scale', 'logp'),
-                 coef_sampler_type=None, options=None, mesh=None,
-                 chain_axis='chains'):
-    """Run `n_chains` independent Gibbs chains in one compiled program.
-
-    Parameters mirror ``BayesBridge.gibbs``; additionally:
-
-    mesh : optional jax.sharding.Mesh
-        If given, the chain axis is sharded over ``mesh[chain_axis]``
-        (data-parallel chains; the model is replicated on every device).
-
-    Returns
-    -------
-    (samples, info) : samples[key] has shape (n_chains, ..., n_kept);
-        info carries per-chain sampling statistics plus the guard-rail
-        counters summed over chains.
-    """
-    if not isinstance(options, SamplerOptions):
-        options = SamplerOptions.pick_default_and_create(
-            coef_sampler_type, options, bridge.model.name,
-            bridge.model.design)
-    if init is None:
-        init = {'global_scale': 0.1}
-    if params_to_save == 'all':
-        params_to_save = ('coef', 'local_scale', 'global_scale', 'logp')
-        if bridge.model.name != 'cox':
-            params_to_save += ('obs_prec',)
-    from .bridge import _SAVABLE_PARAMS
-    unknown = [k for k in params_to_save if k not in _SAVABLE_PARAMS]
-    if unknown:
+def _stack_chain_inits(bridge, init, n_chains, cfg):
+    """Resolve shared-or-per-chain inits into stacked start arrays."""
+    if isinstance(init, dict) or init is None:
+        init = [dict(init) if init else {'global_scale': 0.1}
+                for _ in range(n_chains)]
+    if len(init) != n_chains:
         raise ValueError(
-            "Unknown parameter name(s) {} in params_to_save.".format(
-                unknown))
+            f"Got {len(init)} init dicts for {n_chains} chains.")
+    starts = [bridge.initialize_chain(dict(one), bridge.prior.bridge_exp,
+                                      cfg)[:4]
+              for one in init]
 
-    bridge.rg.set_seed(seed)
-    cfg = bridge._get_step_config(options)
-    coef, obs_prec, lscale, gscale, init, _ = bridge.initialize_chain(
-        init, bridge.prior.bridge_exp, cfg)
+    def stack(i):
+        return np.stack([
+            np.asarray(s[i] if s[i] is not None else np.zeros(0),
+                       dtype=np.float64) for s in starts])
 
-    # Advance the generator past the split so later direct draws from
-    # bridge.rg never reuse a chain's key (mirrors the single-chain
-    # path's key hand-back after the scan).
-    keys = jax.random.split(bridge.rg.key, n_chains + 1)
-    bridge.rg._key = keys[-1]
-    keys = keys[:n_chains]
-    carry0 = step_mod.init_carry(cfg, keys[0], coef, obs_prec, gscale,
-                                 lscale)
-    carry = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0)
-    carry['key'] = keys
+    return stack(0), stack(1), stack(2), stack(3)
 
-    model = bridge.model
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        chain_sharding = lambda x: NamedSharding(
-            mesh, P(chain_axis, *([None] * (x.ndim - 1))))
-        carry = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, chain_sharding(x)), carry)
-        model = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, NamedSharding(mesh, P())), model)
 
-    n_sample = (n_iter - n_burnin) // thin
-    n_remainder = (n_iter - n_burnin) - n_sample * thin
-
-    def _run(model, carry):
-        return step_mod.run_chain(
-            cfg, model, carry, n_burnin, n_sample, thin, n_remainder,
-            save_keys=tuple(params_to_save), status_interval=0)
-
-    carry, outputs = jax.jit(jax.vmap(_run, in_axes=(None, 0)))(
-        model, carry)
+def _assemble(bridge, options, params_to_save, carry, outputs,
+              base_info):
     carry_host, outputs = jax.device_get(
         ({k: v for k, v in carry.items() if k != 'key'}, outputs))
 
@@ -124,9 +77,10 @@ def gibbs_chains(bridge, n_iter, n_chains, n_burnin=0, thin=1, seed=None,
         if key in outputs
     }
     info = {
-        'n_iter': n_iter, 'n_burnin': n_burnin, 'thin': thin,
-        'n_chains': n_chains, 'seed': seed,
+        **base_info,
         'coef_sampler_type': options.coef_sampler_type,
+        'saved_params': tuple(params_to_save),
+        'options': options.get_info(),
         '_reg_coef_sampling_info': sampling_info,
         '_final_state': {
             'coef': carry_host['coef'],
@@ -134,6 +88,11 @@ def gibbs_chains(bridge, n_iter, n_chains, n_burnin=0, thin=1, seed=None,
             'local_scale': lscale_final,
             'obs_prec': carry_host['obs_prec'],
         },
+        # Exact resume state: the full vmapped carry (raw scales) plus
+        # the PRNG keys, mirroring the single-chain checkpoint contract.
+        '_chain_carry': jax.tree_util.tree_map(
+            np.asarray, carry_host),
+        '_chain_keys': np.asarray(jax.random.key_data(carry['key'])),
     }
     for counter in ('n_gscale_clamped', 'n_lscale_underflow',
                     'n_lscale_overflow', 'n_cg_unconverged'):
@@ -144,4 +103,144 @@ def gibbs_chains(bridge, n_iter, n_chains, n_burnin=0, thin=1, seed=None,
     bridge._warn_guard_rails(
         {k: np.sum(v) for k, v in carry_host.items()
          if k.startswith('n_')}, options)
+    return samples, info
+
+
+def _execute(bridge, cfg, carry, n_iter, n_burnin, thin, params_to_save,
+             options, mesh, chain_axis):
+    model = bridge.model
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        chain_sharding = lambda x: NamedSharding(
+            mesh, P(chain_axis, *([None] * (x.ndim - 1))))
+        carry = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, chain_sharding(x)), carry)
+        model = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), model)
+
+    n_sample = (n_iter - n_burnin) // thin
+    n_remainder = (n_iter - n_burnin) - n_sample * thin
+
+    def _run(model, carry):
+        return step_mod.run_chain(
+            cfg, model, carry, n_burnin, n_sample, thin, n_remainder,
+            save_keys=tuple(params_to_save), status_interval=0)
+
+    return jax.jit(jax.vmap(_run, in_axes=(None, 0)))(model, carry)
+
+
+def _resolve_options(bridge, coef_sampler_type, options):
+    if not isinstance(options, SamplerOptions):
+        options = SamplerOptions.pick_default_and_create(
+            coef_sampler_type, options, bridge.model.name,
+            bridge.model.design)
+    return options
+
+
+def _resolve_params_to_save(bridge, params_to_save):
+    if params_to_save == 'all':
+        params_to_save = ('coef', 'local_scale', 'global_scale', 'logp')
+        if bridge.model.name != 'cox':
+            params_to_save += ('obs_prec',)
+    from .bridge import _SAVABLE_PARAMS
+    unknown = [k for k in params_to_save if k not in _SAVABLE_PARAMS]
+    if unknown:
+        raise ValueError(
+            "Unknown parameter name(s) {} in params_to_save.".format(
+                unknown))
+    return params_to_save
+
+
+def gibbs_chains(bridge, n_iter, n_chains, n_burnin=0, thin=1, seed=None,
+                 init=None, params_to_save=('coef', 'global_scale', 'logp'),
+                 coef_sampler_type=None, options=None, mesh=None,
+                 chain_axis='chains'):
+    """Run `n_chains` independent Gibbs chains in one compiled program.
+
+    Parameters mirror ``BayesBridge.gibbs``; additionally:
+
+    init : dict, or sequence of n_chains dicts
+        One dict starts every chain from the same state (they diverge
+        only through their PRNG streams); a sequence gives each chain
+        its own (overdispersed) start.
+    mesh : optional jax.sharding.Mesh
+        If given, the chain axis is sharded over ``mesh[chain_axis]``
+        (data-parallel chains; the model is replicated on every device).
+
+    Returns
+    -------
+    (samples, info) : samples[key] has shape (n_chains, ..., n_kept);
+        info carries per-chain sampling statistics, the guard-rail
+        counters summed over chains, and the exact per-chain resume
+        state consumed by ``gibbs_chains_resume``.
+    """
+    options = _resolve_options(bridge, coef_sampler_type, options)
+    params_to_save = _resolve_params_to_save(bridge, params_to_save)
+
+    bridge.rg.set_seed(seed)
+    cfg = bridge._get_step_config(options)
+    coef, obs_prec, lscale, gscale = _stack_chain_inits(
+        bridge, init, n_chains, cfg)
+
+    # Advance the generator past the split so later direct draws from
+    # bridge.rg never reuse a chain's key (mirrors the single-chain
+    # path's key hand-back after the scan).
+    keys = jax.random.split(bridge.rg.key, n_chains + 1)
+    bridge.rg._key = keys[-1]
+    carry = jax.vmap(
+        lambda key, c, o, g, l: step_mod.init_carry(cfg, key, c, o, g, l)
+    )(keys[:n_chains], coef, obs_prec, gscale, lscale)
+
+    carry, outputs = _execute(
+        bridge, cfg, carry, n_iter, n_burnin, thin, params_to_save,
+        options, mesh, chain_axis)
+    base_info = {'n_iter': n_iter, 'n_burnin': n_burnin, 'thin': thin,
+                 'n_chains': n_chains, 'seed': seed}
+    return _assemble(bridge, options, params_to_save, carry, outputs,
+                     base_info)
+
+
+def gibbs_chains_resume(bridge, prev_info, n_add_iter, merge=False,
+                        prev_samples=None, mesh=None,
+                        chain_axis='chains'):
+    """Continue every chain from its exact final state.
+
+    With ``merge=True`` (requires `prev_samples`) the returned samples
+    are the previous and new draws concatenated along the iteration
+    axis; the continuation is bit-identical to having run the longer
+    chains uninterrupted.
+    """
+    if merge and prev_samples is None:
+        raise ValueError(
+            "To merge the outputs from previous and new MCMC runs, "
+            "supply the optional argument `prev_samples`.")
+    options = SamplerOptions(**prev_info['options'])
+    params_to_save = prev_info['saved_params']
+    cfg = bridge._get_step_config(options)
+
+    carry = jax.tree_util.tree_map(jnp.asarray,
+                                   dict(prev_info['_chain_carry']))
+    carry['key'] = jax.random.wrap_key_data(
+        jnp.asarray(prev_info['_chain_keys']))
+    n_chains = prev_info['n_chains']
+    thin = prev_info['thin']
+
+    carry, outputs = _execute(
+        bridge, cfg, carry, n_add_iter, 0, thin, params_to_save,
+        options, mesh, chain_axis)
+    base_info = {'n_iter': n_add_iter, 'n_burnin': 0, 'thin': thin,
+                 'n_chains': n_chains, 'seed': prev_info.get('seed')}
+    samples, info = _assemble(bridge, options, params_to_save, carry,
+                              outputs, base_info)
+    if merge:
+        for key in samples:
+            samples[key] = np.concatenate(
+                (prev_samples[key], samples[key]), axis=-1)
+        info['n_iter'] += prev_info['n_iter']
+        merged_si = {}
+        for key, val in info['_reg_coef_sampling_info'].items():
+            prev_val = prev_info['_reg_coef_sampling_info'].get(key)
+            merged_si[key] = val if prev_val is None else \
+                np.concatenate((prev_val, val), axis=1)
+        info['_reg_coef_sampling_info'] = merged_si
     return samples, info

@@ -1,1 +1,4 @@
-from .sharding import make_mesh, shard_design, shard_model
+from .sharding import (
+    PRED_AXIS, SHARD_AXIS, make_mesh, shard_design, shard_model,
+)
+from . import distributed

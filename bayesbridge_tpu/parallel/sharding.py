@@ -20,6 +20,14 @@ annotations -> let XLA insert collectives).
 The column-ELL arrays (the stored transpose) shard along the PREDICTOR
 axis of the same 1-d mesh: both matvec directions then split their
 gather/reduce work across every device.
+
+For pod-scale predictor counts a 2-d (obs x pred) mesh additionally
+shards the hybrid blocks' COLUMN axis (SURVEY §5.7): the replicated
+coefficient vector is all-gathered into each column shard's slice, X v
+partials reduce over the 'pred' axis and X' u partials over the 'obs'
+axis — both collectives ride ICI on-pod. Build one with
+``make_mesh((n_obs_shards, n_pred_shards))`` and pass
+``pred_axis=PRED_AXIS`` to ``shard_model``.
 """
 
 import jax
@@ -30,48 +38,87 @@ from ..design.dense import DenseDesignMatrix
 from ..design.sparse import SparseDesignMatrix
 
 SHARD_AXIS = 'shard'
+PRED_AXIS = 'pred'
 
 
-def make_mesh(n_devices=None, devices=None, axis_name=SHARD_AXIS):
-    """1-d device mesh over which designs are sharded."""
+def make_mesh(n_devices=None, devices=None, axis_name=SHARD_AXIS,
+              pred_axis=PRED_AXIS):
+    """Device mesh over which designs are sharded.
+
+    n_devices : int | (int, int) | None
+        An int (or None = all devices) builds the 1-d observation mesh;
+        an (n_obs_shards, n_pred_shards) tuple builds the 2-d mesh whose
+        second axis shards the predictor dimension.
+    """
     if devices is None:
         devices = jax.devices()
-        if n_devices is not None:
-            devices = devices[:n_devices]
+    if isinstance(n_devices, tuple):
+        n_row, n_col = n_devices
+        devices = np.asarray(devices[:n_row * n_col]).reshape(n_row, n_col)
+        return Mesh(devices, (axis_name, pred_axis))
+    if n_devices is not None:
+        devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 
 
 def _put(x, mesh, spec):
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    # Drop mesh axes that don't divide the corresponding array dimension
+    # (device_put requires even shards); the array stays replicated along
+    # that axis instead. Keeps 2-d sharding usable for arbitrary column
+    # counts — the narrow remainder block simply rides along replicated.
+    cleaned = []
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            cleaned.append(None)
+            continue
+        size = int(np.prod([mesh.shape[a] for a in
+                            (axis if isinstance(axis, tuple) else (axis,))]))
+        cleaned.append(axis if x.shape[dim] % size == 0 else None)
+    return jax.device_put(x, NamedSharding(mesh, P(*cleaned)))
 
 
-def shard_design(design, mesh, axis_name=SHARD_AXIS):
+def shard_design(design, mesh, axis_name=SHARD_AXIS, pred_axis=None):
     """Place a design matrix's arrays on the mesh, sharded as described
-    in the module docstring. Returns the same object (arrays replaced)."""
-    row = P(axis_name)
+    in the module docstring. Returns the same object (arrays replaced).
+
+    pred_axis : optional mesh axis name sharding the predictor
+        (column) dimension of the stored blocks (2-d mesh only).
+    """
+    col = P(pred_axis) if pred_axis else P(axis_name)
     if isinstance(design, DenseDesignMatrix):
-        design.X = _put(design.X, mesh, P(axis_name, None))
+        design.X = _put(design.X, mesh, P(axis_name, pred_axis))
         return design
     if isinstance(design, SparseDesignMatrix):
+        if design.backend == 'bitpack':
+            raise NotImplementedError(
+                "The bitpack backend's Pallas matvec is single-device for "
+                "now; build the design with backend='hybrid' or 'ell' for "
+                "mesh sharding.")
         if design.backend == 'hybrid':
-            # Dense blocks shard along the observation (row) axis; the
-            # X'u partial products then reduce over ICI.
-            design.X_exact = _put(design.X_exact, mesh, P(axis_name, None))
-            design.X_float = _put(design.X_float, mesh, P(axis_name, None))
+            # Dense blocks shard along observations (and predictors on a
+            # 2-d mesh); the X'u / Xv partial products then reduce over
+            # ICI collectives inserted by GSPMD.
+            design.X_exact = _put(design.X_exact, mesh,
+                                  P(axis_name, pred_axis))
+            design.X_float = _put(design.X_float, mesh,
+                                  P(axis_name, pred_axis))
         else:
             design.row_idx = _put(design.row_idx, mesh, P(axis_name, None))
             design.row_val = _put(design.row_val, mesh, P(axis_name, None))
-            design.col_idx = _put(design.col_idx, mesh, P(axis_name, None))
-            design.col_val = _put(design.col_val, mesh, P(axis_name, None))
-        design.column_offset = _put(design.column_offset, mesh, row)
+            # The stored transpose shards along its own leading
+            # (predictor) axis.
+            design.col_idx = _put(design.col_idx, mesh, col)
+            design.col_val = _put(design.col_val, mesh, col)
+        design.column_offset = _put(design.column_offset, mesh, col)
         return design
     raise TypeError(type(design))
 
 
-def shard_model(model, mesh, axis_name=SHARD_AXIS):
+def shard_model(model, mesh, axis_name=SHARD_AXIS, pred_axis=None):
     """Shard the design and the per-observation outcome arrays of a
-    model along the observation axis. Returns the model."""
-    shard_design(model.design, mesh, axis_name)
+    model along the observation axis (and, on a 2-d mesh with
+    `pred_axis`, the design's predictor axis). Returns the model."""
+    shard_design(model.design, mesh, axis_name, pred_axis)
     row = P(axis_name)
     if model.name == 'linear':
         model.y = _put(model.y, mesh, row)

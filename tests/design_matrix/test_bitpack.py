@@ -1,0 +1,126 @@
+"""Bitpacked (Pallas byte-LUT) sparse backend vs explicit dense products.
+
+The kernel runs in interpret mode on CPU, so these tests exercise the
+exact program the TPU executes (block plans, padding, LUT build, the
+two-register gather) with only the Mosaic lowering swapped out.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+import jax.numpy as jnp
+
+from bayesbridge_tpu.design import SparseDesignMatrix
+from bayesbridge_tpu.design.bitlut import (
+    bitpacked_matvec, pack_bits, plan_blocks,
+)
+
+
+def _make_design(n=97, p=53, binary_only=True, seed=0):
+    rng = np.random.default_rng(seed)
+    X = (rng.random((n, p)) < 0.15).astype(np.float64)
+    if not binary_only:
+        X[:, ::7] *= rng.standard_normal((n, len(range(0, p, 7))))
+    X[X == 0] = 0.0
+    return sps.csr_matrix(X), X
+
+
+def test_kernel_matches_dense_matvec():
+    rng = np.random.default_rng(1)
+    n, p = 300, 70
+    X = (rng.random((n, p)) < 0.1).astype(np.uint8)
+    v = rng.standard_normal(p)
+
+    g_pad, m_pad, n_chunk = plan_blocks(p, n)
+    bits = np.zeros((g_pad, m_pad), np.uint8)
+    packed = pack_bits(X, axis=1)
+    bits[:packed.shape[0], :n] = packed
+    v_pad = np.zeros(8 * g_pad)
+    v_pad[:p] = v
+    out = bitpacked_matvec(jnp.asarray(bits), jnp.asarray(v_pad), n,
+                           n_chunk, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), X.astype(np.float64) @ v,
+                               rtol=1e-10)
+
+
+@pytest.mark.parametrize("binary_only", [True, False])
+@pytest.mark.parametrize("center,intercept", [
+    (False, False), (True, True), (True, False), (False, True),
+])
+def test_dot_tdot_match_explicit(binary_only, center, intercept):
+    X_sp, X = _make_design(binary_only=binary_only)
+    design = SparseDesignMatrix(
+        X_sp, center_predictor=center, add_intercept=intercept,
+        backend='bitpack')
+    assert design.backend == 'bitpack'
+
+    Xc = X - X.mean(0) if center else X
+    if intercept:
+        Xc = np.hstack((np.ones((X.shape[0], 1)), Xc))
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(Xc.shape[1])
+    u = rng.standard_normal(Xc.shape[0])
+    np.testing.assert_allclose(np.asarray(design.dot(v)), Xc @ v,
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(design.Tdot(u)), Xc.T @ u,
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_fisher_diag_matches_dense():
+    X_sp, X = _make_design(binary_only=False)
+    design = SparseDesignMatrix(X_sp, center_predictor=True,
+                                add_intercept=True, backend='bitpack')
+    rng = np.random.default_rng(5)
+    w = rng.random(X.shape[0]) + 0.1
+    Xc = np.hstack((np.ones((X.shape[0], 1)), X - X.mean(0)))
+    np.testing.assert_allclose(
+        np.asarray(design.compute_fisher_diag(w)),
+        np.einsum('i,ij,ij->j', w, Xc, Xc), rtol=1e-8)
+
+
+def test_densify_and_pytree_roundtrip():
+    import jax
+    X_sp, X = _make_design(binary_only=False)
+    design = SparseDesignMatrix(X_sp, center_predictor=False,
+                                add_intercept=False, backend='bitpack')
+    np.testing.assert_allclose(design.toarray(), X, rtol=1e-12)
+
+    leaves, treedef = jax.tree_util.tree_flatten(design)
+    rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
+    v = np.random.default_rng(7).standard_normal(X.shape[1])
+    np.testing.assert_allclose(np.asarray(rebuilt.dot(v)),
+                               np.asarray(design.dot(v)))
+
+
+def test_gibbs_runs_on_bitpack_backend():
+    """End-to-end: a short CG Gibbs chain over a bitpacked design agrees
+    with the same chain over the hybrid backend (same seed, same draws:
+    only the matvec implementation differs)."""
+    from bayesbridge_tpu import (
+        BayesBridge, RegressionModel, RegressionCoefPrior,
+    )
+    rng = np.random.default_rng(11)
+    n, p = 120, 40
+    X = sps.csr_matrix((rng.random((n, p)) < 0.2).astype(np.float64))
+    beta = np.zeros(p)
+    beta[:3] = 1.0
+    logits = np.asarray(X @ beta)
+    y = (rng.random(n) < 1 / (1 + np.exp(-logits))).astype(np.float64)
+
+    def run(backend):
+        from bayesbridge_tpu.design import SparseDesignMatrix as SDM
+        from bayesbridge_tpu.models.logistic import LogisticModel
+        design = SDM(X, center_predictor=False, add_intercept=True,
+                     backend=backend)
+        model = LogisticModel(y, None, design)
+        prior = RegressionCoefPrior(bridge_exponent=.5,
+                                    regularizing_slab_size=2.)
+        bridge = BayesBridge(model, prior)
+        samples, _ = bridge.gibbs(20, seed=0, coef_sampler_type='cg',
+                                  init={'global_scale': 0.1})
+        return samples['coef']
+
+    coef_bit = run('bitpack')
+    coef_hyb = run('hybrid')
+    np.testing.assert_allclose(coef_bit, coef_hyb, rtol=1e-5, atol=1e-7)

@@ -15,7 +15,7 @@ from bayesbridge_tpu import (
 )
 from bayesbridge_tpu import step as step_mod
 from bayesbridge_tpu.gibbs_util import SamplerOptions
-from bayesbridge_tpu.multichain import gibbs_chains
+from bayesbridge_tpu.multichain import gibbs_chains, gibbs_chains_resume
 from bayesbridge_tpu.utils.mcmc_summarizer import (
     compute_split_rhat, compute_multichain_ess,
 )
@@ -76,6 +76,46 @@ def test_chains_shard_over_mesh():
         params_to_save=('coef',))
     np.testing.assert_allclose(s_mesh['coef'], s_plain['coef'],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_overdispersed_per_chain_inits():
+    """A list of init dicts gives each chain its own starting point."""
+    bridge = _make_bridge()
+    n_chains = 3
+    inits = [{'coef': np.full(bridge.n_pred, c * 1.0),
+              'global_scale': 0.1,
+              'local_scale': np.ones(bridge.n_pred - bridge.n_unshrunk)}
+             for c in range(n_chains)]
+    samples, info = gibbs_chains(
+        bridge, 4, n_chains, seed=3, init=inits,
+        coef_sampler_type='cholesky', params_to_save=('coef',))
+    assert samples['coef'].shape == (n_chains, bridge.n_pred, 4)
+    # Different starts must produce different early draws.
+    assert not np.allclose(samples['coef'][0, :, 0],
+                           samples['coef'][1, :, 0])
+
+    with pytest.raises(ValueError, match="init dicts"):
+        gibbs_chains(bridge, 2, 2, seed=0, init=inits,
+                     coef_sampler_type='cholesky')
+
+
+def test_multichain_resume_equals_uninterrupted():
+    """Per-chain resume must be bit-identical to the longer run."""
+    bridge = _make_bridge()
+    n_chains = 2
+    init = {'coef': np.zeros(bridge.n_pred), 'global_scale': 0.1,
+            'local_scale': np.ones(bridge.n_pred - bridge.n_unshrunk)}
+    full, _ = gibbs_chains(
+        bridge, 10, n_chains, seed=7, init=dict(init),
+        coef_sampler_type='cg', params_to_save=('coef', 'logp'))
+    first, info = gibbs_chains(
+        bridge, 6, n_chains, seed=7, init=dict(init),
+        coef_sampler_type='cg', params_to_save=('coef', 'logp'))
+    merged, m_info = gibbs_chains_resume(
+        bridge, info, 4, merge=True, prev_samples=first)
+    np.testing.assert_array_equal(merged['coef'], full['coef'])
+    np.testing.assert_array_equal(merged['logp'], full['logp'])
+    assert m_info['n_iter'] == 10
 
 
 def test_rhat_and_pooled_ess():

@@ -73,6 +73,55 @@ def test_sharded_step_matches_unsharded(backend):
 
 @pytest.mark.skipif(len(jax.devices()) < N_DEV,
                     reason="needs the 8-device CPU mesh")
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_2d_obs_pred_sharding_matches_unsharded(mesh_shape):
+    """Column-sharding of the hybrid blocks (SURVEY §5.7): an
+    (obs x pred) mesh must reproduce the unsharded Gibbs step."""
+    from bayesbridge_tpu.parallel import PRED_AXIS
+    model, cfg, carry = _build(backend='hybrid')
+    step = jax.jit(lambda m, c: step_mod.gibbs_step(cfg, m, c))
+    ref_carry, ref_out = step(model, carry)
+
+    mesh = make_mesh(mesh_shape)
+    shard_model(model, mesh, pred_axis=PRED_AXIS)
+    assert len(model.design.X_exact.sharding.device_set) == N_DEV
+    sh_carry, sh_out = step(model, carry)
+
+    np.testing.assert_allclose(
+        np.asarray(ref_out['coef']), np.asarray(sh_out['coef']),
+        rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        float(ref_out['logp']), float(sh_out['logp']), rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < N_DEV,
+                    reason="needs the 8-device CPU mesh")
+def test_2d_sharding_ell_backend():
+    from bayesbridge_tpu.parallel import PRED_AXIS
+    model, cfg, carry = _build(backend='ell')
+    step = jax.jit(lambda m, c: step_mod.gibbs_step(cfg, m, c))
+    ref_carry, ref_out = step(model, carry)
+    shard_model(model, make_mesh((4, 2)), pred_axis=PRED_AXIS)
+    sh_carry, sh_out = step(model, carry)
+    np.testing.assert_allclose(
+        np.asarray(ref_out['coef']), np.asarray(sh_out['coef']),
+        rtol=1e-5, atol=1e-7)
+
+
+def test_multihost_entry_is_noop_single_process():
+    """initialize_multihost must be safe (and a no-op) in-process."""
+    from bayesbridge_tpu.parallel import distributed
+    distributed.initialize_multihost()
+    assert jax.process_count() == 1
+    mesh = distributed.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = distributed.global_mesh(pred_shards=2)
+    assert mesh2.axis_names == ('shard', 'pred')
+    assert mesh2.devices.shape == (len(jax.devices()) // 2, 2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < N_DEV,
+                    reason="needs the 8-device CPU mesh")
 def test_sharded_full_chain_runs():
     model, cfg, carry = _build(family='linear')
     carry['obs_prec'] = jnp.asarray(1.0, jnp.float64)
