@@ -30,7 +30,7 @@ def build_sparse(n, p, density, seed=0):
 
 
 def time_backend(X, backend, reps, jax, jnp):
-    import os
+    from jax import lax
     from bayesbridge_tpu.design import SparseDesignMatrix
     tic = time.perf_counter()
     design = SparseDesignMatrix(X, center_predictor=False,
@@ -44,24 +44,27 @@ def time_backend(X, backend, reps, jax, jnp):
 
     dot = jax.jit(lambda d, x: d.dot(x))
     tdot = jax.jit(lambda d, x: d.Tdot(x))
-    out_d = jax.block_until_ready(dot(design, v))
-    out_t = jax.block_until_ready(tdot(design, u))
+    out_d = np.asarray(dot(design, v), np.float64)  # fetch = sync
+    out_t = np.asarray(tdot(design, u), np.float64)
 
-    def bench(f, x):
-        # Per-call blocking: async dispatch can otherwise overlap or
-        # elide work and report fantasy numbers.
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(design, x))
-            times.append(time.perf_counter() - t0)
-        return float(np.median(times))
+    # Timing methodology for a remote-attached chip (~30 ms RPC floor,
+    # async dispatch): chain `reps` DEPENDENT Tdot(dot(.)) round trips
+    # inside one jit and fetch a scalar, so neither RPC latency nor
+    # result caching can fake the number. Reported per single matvec.
+    @jax.jit
+    def chained(d, x0):
+        def body(_, x):
+            y = d.Tdot(d.dot(x))
+            return y / jnp.linalg.norm(y)
+        return jnp.sum(lax.fori_loop(0, reps, body, x0))
 
-    t_dot, t_tdot = bench(dot, v), bench(tdot, u)
+    float(chained(design, v))  # compile + warm
+    t0 = time.perf_counter()
+    float(chained(design, v))
+    pair_ms = (time.perf_counter() - t0) / reps * 1e3
     result = dict(backend=backend, build_s=build_s,
-                  dot_ms=t_dot * 1e3, tdot_ms=t_tdot * 1e3,
-                  out_dot=np.asarray(out_d, np.float64),
-                  out_tdot=np.asarray(out_t, np.float64))
+                  matvec_ms=pair_ms / 2,
+                  out_dot=out_d, out_tdot=out_t)
     del design, v, u
     gc.collect()
     return result
@@ -95,14 +98,14 @@ def main():
             print(f"{backend}: skipped ({type(e).__name__}: {str(e)[:80]})")
 
     ref = results.get('ell') or next(iter(results.values()))
-    print(f"\n{'backend':>8} {'build_s':>8} {'dot_ms':>9} {'Tdot_ms':>9} "
-          f"{'Gnnz/s':>8} {'vs_ell':>7}")
+    print(f"\n{'backend':>8} {'build_s':>8} {'matvec_ms':>10} "
+          f"{'Gnnz/s':>8} {'Gelem/s':>8} {'vs_ell':>7}")
     for name, r in results.items():
-        pair_ms = r['dot_ms'] + r['tdot_ms']
-        ref_pair = ref['dot_ms'] + ref['tdot_ms']
-        gnnz = 2 * nnz / (pair_ms / 1e3) / 1e9
-        print(f"{name:>8} {r['build_s']:8.1f} {r['dot_ms']:9.2f} "
-              f"{r['tdot_ms']:9.2f} {gnnz:8.2f} {ref_pair / pair_ms:6.1f}x")
+        ms = r['matvec_ms']
+        gnnz = nnz / (ms / 1e3) / 1e9
+        gelem = args.n * args.p / (ms / 1e3) / 1e9
+        print(f"{name:>8} {r['build_s']:8.1f} {ms:10.2f} "
+              f"{gnnz:8.2f} {gelem:8.1f} {ref['matvec_ms'] / ms:6.1f}x")
         for key in ('out_dot', 'out_tdot'):
             err = np.max(np.abs(r[key] - ref[key])) \
                 / (np.max(np.abs(ref[key])) + 1e-12)

@@ -56,13 +56,20 @@ def _tpu_rate(X, outcome, family, method, n_iter, bridge_exp=.5,
     return n_iter / elapsed, ess_rate
 
 
-def _np_rate(X, outcome, family, method, n_iter, bridge_exp=.5):
+def _np_rate(X, outcome, family, method, n_iter, bridge_exp=.5, reps=3):
+    """CPU rate with repetition spread: the single-core host is shared,
+    so one timing can be off by 2x (seen as an unexplained 183 -> 108
+    iter/s drift in earlier dense-config numbers); report the best of
+    `reps` repetitions (least-contended) plus the spread."""
     gibbs = NumpyBridgeGibbs(X, outcome, family=family,
                              bridge_exp=bridge_exp, slab_size=2., seed=0)
     gibbs.run(max(5, n_iter), method=method)  # warm past the transient
-    tic = time.time()
-    gibbs.run(n_iter, method=method, resume=True)
-    return n_iter / (time.time() - tic)
+    rates = []
+    for _ in range(reps):
+        tic = time.time()
+        gibbs.run(n_iter, method=method, resume=True)
+        rates.append(n_iter / (time.time() - tic))
+    return max(rates), (max(rates) - min(rates)) / max(rates)
 
 
 def main():
@@ -80,11 +87,14 @@ def main():
     def run(name, X, outcome, family, method, n_tpu, n_np, **kw):
         print(f"measuring: {name} ...", file=sys.stderr, flush=True)
         tpu, ess = _tpu_rate(X, outcome, family, method, n_tpu, **kw)
-        np_rate = _np_rate(X, outcome, family, method, n_np,
-                           bridge_exp=kw.get('bridge_exp', .5)) \
-            if n_np else float('nan')
-        rows.append((name, tpu, np_rate, tpu / np_rate if n_np else None,
-                     ess))
+        if n_np:
+            np_rate, np_spread = _np_rate(
+                X, outcome, family, method, n_np,
+                bridge_exp=kw.get('bridge_exp', .5))
+        else:
+            np_rate, np_spread = float('nan'), None
+        rows.append((name, tpu, np_rate, np_spread,
+                     tpu / np_rate if n_np else None, ess))
 
     # 1. Linear, dense n=500 x p=100, cholesky.
     np.random.seed(0)
@@ -125,12 +135,17 @@ def main():
         'cg', 250, 25, bridge_exp=.25, params=('coef', 'logp'), thin=2,
         measure_ess=True)
 
-    print("\n| Config | TPU iter/s | NumPy iter/s | speedup | ESS/sec |")
+    print("\n| Config | TPU iter/s | NumPy iter/s (spread) | speedup "
+          "| ESS/sec |")
     print("|---|---|---|---|---|")
-    for name, tpu, np_r, speedup, ess in rows:
+    for name, tpu, np_r, np_spread, speedup, ess in rows:
+        np_txt = "-"
+        if np_r == np_r:
+            np_txt = f"{np_r:.3g}"
+            if np_spread is not None:
+                np_txt += f" (±{100 * np_spread:.0f}%)"
         print("| {} | {:.3g} | {} | {} | {} |".format(
-            name, tpu,
-            f"{np_r:.3g}" if np_r == np_r else "-",
+            name, tpu, np_txt,
             f"{speedup:.1f}x" if speedup else "-",
             f"{ess:.3g}" if ess else "-"))
 

@@ -67,15 +67,16 @@ _BITPACK_MIN_BINARY_FRAC = 0.5
 
 
 def _densify_columns(X_csc, cols, out_dtype):
-    """Host-side chunked CSC -> dense block in the target dtype (avoids a
-    full-width float64 dense intermediate for very large designs)."""
+    """Host-side CSC -> dense block in the target dtype, O(nnz) writes
+    (no full-width float64 dense intermediate: at benchmark scale the
+    chunked `.toarray()` route costs tens of GB of transient churn and
+    minutes of wall clock)."""
     n = X_csc.shape[0]
     out = np.zeros((n, len(cols)), dtype=out_dtype)
-    chunk = max(1, int(2e8) // max(n, 1))  # ~1.6 GB f64 intermediates max
-    for start in range(0, len(cols), chunk):
-        sel = cols[start:start + chunk]
-        out[:, start:start + len(sel)] = \
-            X_csc[:, sel].toarray().astype(out_dtype)
+    indptr, indices, data = X_csc.indptr, X_csc.indices, X_csc.data
+    for k, j in enumerate(np.asarray(cols)):
+        sl = slice(indptr[j], indptr[j + 1])
+        out[indices[sl], k] = data[sl]
     return out
 
 

@@ -49,12 +49,25 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
     if jax.process_count() > 1:
         return  # already initialized
     import os
+    from jax._src import xla_bridge
     env_driven = any(k in os.environ for k in (
         'JAX_COORDINATOR_ADDRESS', 'COORDINATOR_ADDRESS',
-        'MEGASCALE_COORDINATOR_ADDRESS', 'TPU_WORKER_HOSTNAMES'))
+        'MEGASCALE_COORDINATOR_ADDRESS'))
     if coordinator_address is None and num_processes is None \
             and not env_driven:
         return  # single-process run; nothing to initialize
+    if xla_bridge.backends_are_initialized():
+        if coordinator_address is None and num_processes is None:
+            # Env hinted at a job but a backend already exists (e.g. a
+            # single-process run on a TPU VM whose image exports
+            # coordinator variables): stay single-process.
+            from warnings import warn
+            warn("initialize_multihost: a JAX backend is already "
+                 "initialized; continuing single-process. Call "
+                 "initialize_multihost() before any other JAX use to "
+                 "join a multi-host job.")
+            return
+        # Explicit arguments: surface jax's own error.
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes, process_id=process_id, **kwargs)

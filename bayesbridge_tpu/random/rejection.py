@@ -68,7 +68,8 @@ def _plan_widths(n, min_width, shrink):
 
 def run_rejection(key, params, state, attempt, value_init,
                   min_width=512, shrink=4, max_rounds=256,
-                  tail_replicas=1, latch='on_accept'):
+                  tail_replicas=1, latch='on_accept',
+                  attempts_per_round=1):
     """Run per-lane rejection chains to acceptance, with compaction.
 
     Parameters
@@ -94,6 +95,15 @@ def run_rejection(key, params, state, attempt, value_init,
         records the candidate on every round a lane is active — for
         chains whose value accumulates monotonically (divide-and-conquer
         partial sums), a capped lane then returns its progress so far.
+    attempts_per_round : int
+        Chain this many attempt rounds inside each ``lax.while_loop``
+        body — statistically a no-op (identical to that many sequential
+        rounds; lanes latch on their first acceptance in attempt order).
+        A tuning knob for latency-bound regimes; on v5e the Gibbs-sized
+        draws measure flat in it (the kernels are VPU-transcendental-
+        throughput-bound, see BASELINE.md), so the default is 1. Exit
+        conditions are checked at this granularity; ``max_rounds``
+        still counts single attempts.
 
     Returns
     -------
@@ -114,7 +124,7 @@ def run_rejection(key, params, state, attempt, value_init,
         rounds=jnp.int32(0),
     )
 
-    def body(c):
+    def round_once(c):
         key, k_att = jax.random.split(c['key'])
         new_state, val, ok = attempt(k_att, c['params'], c['state'])
         active = ~c['acc']
@@ -127,6 +137,11 @@ def run_rejection(key, params, state, attempt, value_init,
         return {**c, 'key': key, 'state': state, 'value': value,
                 'acc': jnp.logical_or(c['acc'], take),
                 'rounds': c['rounds'] + 1}
+
+    def body(c):
+        for _ in range(attempts_per_round):
+            c = round_once(c)
+        return c
 
     for level, width in enumerate(widths):
         is_last = level + 1 == len(widths)

@@ -5,8 +5,6 @@ Host-side NumPy/SciPy utilities mirroring the reference's generators
 categorical designs and outcome simulation for each model family.
 """
 
-import math
-
 import numpy as np
 import scipy.sparse as sps
 
@@ -81,14 +79,30 @@ def _simulate_dense(n_obs, n_pred, corr_design):
 def _simulate_binary(n_obs, n_pred, sparsity, max_freq_per_col=.5):
     """0/1 columns with average density `sparsity`, per-column density
     Beta-distributed and capped at `max_freq_per_col`
-    (simulate_data.py:100-117)."""
+    (simulate_data.py:100-117).
+
+    Benchmark-scale blocks are assembled directly in CSC (no n x p dense
+    transient) from the SAME np.random draw sequence, so small-scale
+    goldens and large-scale benches see identical matrices for a seed.
+    """
     a = .5
     b = a * (max_freq_per_col / sparsity - 1)
     freq = max_freq_per_col * np.random.beta(a, b, n_pred)
+    nnz_per_col = np.ceil(n_obs * freq).astype(np.int64)
+    if n_obs * n_pred > 2e8:
+        indices = np.empty(int(nnz_per_col.sum()), dtype=np.int32)
+        indptr = np.zeros(n_pred + 1, dtype=np.int64)
+        np.cumsum(nnz_per_col, out=indptr[1:])
+        for j in range(n_pred):
+            rows = np.random.choice(n_obs, nnz_per_col[j], replace=False)
+            rows.sort()
+            indices[indptr[j]:indptr[j + 1]] = rows
+        return sps.csc_matrix(
+            (np.ones(len(indices)), indices, indptr),
+            shape=(n_obs, n_pred))
     X = np.zeros((n_obs, n_pred))
     for j in range(n_pred):
-        nnz = math.ceil(n_obs * freq[j])
-        X[np.random.choice(n_obs, nnz, replace=False), j] = 1.
+        X[np.random.choice(n_obs, nnz_per_col[j], replace=False), j] = 1.
     return X
 
 

