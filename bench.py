@@ -151,12 +151,13 @@ def time_tpu(X, outcome, n_iter, bridge_exp=0.5):
 
 
 # NumPy/SciPy baseline at the default full-size config, measured on this
-# host 2026-08-16 with 1 warmup + 2 timed steady-state iterations
-# (1514 s/iter, mean 190.5 CG iters/draw with the reference's prior
-# preconditioner; the run log is quoted in BASELINE.md). Used by default
-# because a live run takes ~25 min per Gibbs iteration on the 1-core
-# host; set BB_BENCH_LIVE_BASELINE=1 to re-measure live.
-_RECORDED_BASELINE = {(100_000, 50_000): 0.00066}
+# host 2026-08-16/17, uncontended single-core run, 1 warmup + 1 timed
+# steady-state iteration (590.2 s/iter, mean 187 CG iters/draw with the
+# reference's prior preconditioner; run logs quoted in BASELINE.md).
+# Used by default because a live run takes ~10-25 min per Gibbs
+# iteration on the 1-core host; set BB_BENCH_LIVE_BASELINE=1 to
+# re-measure live.
+_RECORDED_BASELINE = {(100_000, 50_000): 0.00169}
 
 
 def time_baseline(X, outcome, n_iter, bridge_exp=0.5):
