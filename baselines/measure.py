@@ -72,11 +72,67 @@ def _np_rate(X, outcome, family, method, n_iter, bridge_exp=.5, reps=3):
     return max(rates), (max(rates) - min(rates)) / max(rates)
 
 
+def beyond_hbm():
+    """End-to-end Gibbs chain in the beyond-HBM regime: an all-binary
+    n=400k x p=50k design (20 GB as int8 dense — exceeds the chip's
+    HBM next to the chain state) that `backend='auto'` serves with the
+    bitpacked Pallas matvec (5.4 GB of bitmaps). The regime the
+    reference handles via MKL CSR from host RAM
+    (mkl_matvec.py:17-56)."""
+    import jax
+    from bayesbridge_tpu import (
+        BayesBridge, RegressionModel, RegressionCoefPrior,
+    )
+    from bayesbridge_tpu.utils.simulate_data import (
+        simulate_design, simulate_outcome,
+    )
+    n_obs, n_pred = 400_000, 50_000
+    t0 = time.time()
+    X = simulate_design(n_obs, n_pred, binary_frac=1.0, seed=0)
+    beta = np.zeros(n_pred)
+    beta[:10] = 1.0
+    outcome = simulate_outcome(X, beta, 'logit', seed=1)
+    print(f"data: {time.time()-t0:.0f}s, nnz={X.nnz:.3g} "
+          f"(int8 dense would be {n_obs * n_pred / 1e9:.0f} GB)",
+          file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    model = RegressionModel(outcome, X, family='logit', dtype=np.float32)
+    print(f"design build: {time.time()-t0:.0f}s, "
+          f"backend={model.design.backend}", file=sys.stderr, flush=True)
+    assert model.design.backend == 'bitpack'
+
+    prior = RegressionCoefPrior(bridge_exponent=.5,
+                                regularizing_slab_size=2.)
+    bridge = BayesBridge(model, prior)
+    init = {'coef': np.zeros(n_pred + 1), 'global_scale': 0.1,
+            'local_scale': np.ones(n_pred)}
+    n_iter = 30
+    _, warm = bridge.gibbs(n_iter, seed=0, coef_sampler_type='cg',
+                           init=init, params_to_save=('coef', 'logp'))
+    bridge.gibbs_resume(warm, n_iter)
+    tic = time.time()
+    samples, info = bridge.gibbs_resume(warm, n_iter)
+    dt = time.time() - tic
+    n_cg = info['_reg_coef_sampling_info']['n_cg_iter']
+    print(f"beyond-HBM bitpack Gibbs: {n_iter / dt:.2f} iter/s "
+          f"(n={n_obs}, p={n_pred}, mean_cg_iter="
+          f"{float(np.mean(n_cg)):.1f}, "
+          f"final_logp={float(samples['logp'][-1]):.4g}, "
+          f"backend={jax.default_backend()})")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--full', action='store_true',
                         help='headline n=100k x p=50k (TPU side only)')
+    parser.add_argument('--beyond-hbm', action='store_true',
+                        help='end-to-end bitpack chain at n=400k x p=50k')
     args = parser.parse_args()
+
+    if args.beyond_hbm:
+        beyond_hbm()
+        return
 
     from bayesbridge_tpu.utils.simulate_data import (
         simulate_design, simulate_outcome,

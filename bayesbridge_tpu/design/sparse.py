@@ -172,18 +172,32 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 if p else 1.0
             binary_frac = float(np.mean(_binary_column_mask(X_csc))) \
                 if p else 1.0
-            exact_bytes = 2 if dtype == np.float32 else dtype.itemsize
-            hybrid_bytes = n * p * (exact_frac * exact_bytes
-                                    + (1 - exact_frac) * dtype.itemsize)
+            if dtype == np.float32:
+                # Mirror _build_hybrid's storage choice: int8 (1 B) for
+                # small-integer columns vs bf16 (2 B) for the bf16-exact
+                # set, whichever moves fewer bytes.
+                int8_frac = float(np.mean(_int8_exact_columns(X_csc))) \
+                    if p else 1.0
+                per_elem = min(
+                    int8_frac * 1 + (1 - int8_frac) * 4,
+                    exact_frac * 2 + (1 - exact_frac) * 4)
+            else:
+                per_elem = dtype.itemsize
+            hybrid_bytes = n * p * per_elem
             ell_bytes = 2 * X.nnz * (4 + dtype.itemsize)
             bitpack_bytes = n * p * binary_frac / 4.0 \
                 + n * p * (1 - binary_frac) * dtype.itemsize
-            if hybrid_bytes <= _HYBRID_MAX_BYTES or hybrid_bytes <= ell_bytes:
+            if hybrid_bytes <= _HYBRID_MAX_BYTES:
                 backend = 'hybrid'
             elif (binary_frac >= _BITPACK_MIN_BINARY_FRAC
                   and bitpack_bytes <= _BITPACK_MAX_BYTES
                   and dtype == np.float32):
                 backend = 'bitpack'
+            elif hybrid_bytes <= ell_bytes:
+                # Neither compact form helps (dense-ish, few binary
+                # columns): over-budget dense blocks are still the least
+                # bad option, as the ELL layout would be even larger.
+                backend = 'hybrid'
             else:
                 backend = 'ell'
         self.backend = backend

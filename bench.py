@@ -89,13 +89,22 @@ def roofline(design, mean_cg_iter, iters_per_sec):
     passes = 2.0 * (mean_cg_iter + 1.0) + 5.0
     bytes_per_iter = passes * design_storage_bytes(design)
     achieved = bytes_per_iter * iters_per_sec / 1e9
-    return {
+    out = {
         'design_gb': round(design_storage_bytes(design) / 1e9, 3),
         'design_passes_per_iter': round(passes, 1),
         'bytes_per_iter_gb': round(bytes_per_iter / 1e9, 3),
         'achieved_gb_per_s': round(achieved, 1),
         'hbm_utilization': round(achieved / _PEAK_HBM_GBPS, 3),
     }
+    if design.backend == 'bitpack':
+        # One bit per element: the kernel is bound by its VPU gather
+        # throughput (~650 Gelem/s measured), not by HBM bytes, so also
+        # report element throughput against that ceiling.
+        n, p = design.shape
+        elems_per_s = passes * n * (p - 1) * iters_per_sec
+        out['vpu_gelem_per_s'] = round(elems_per_s / 1e9, 1)
+        out['kernel_utilization'] = round(elems_per_s / 650e9, 3)
+    return out
 
 
 def time_tpu(X, outcome, n_iter, bridge_exp=0.5):

@@ -124,3 +124,26 @@ def test_gibbs_runs_on_bitpack_backend():
     coef_bit = run('bitpack')
     coef_hyb = run('hybrid')
     np.testing.assert_allclose(coef_bit, coef_hyb, rtol=1e-5, atol=1e-7)
+
+
+def test_auto_backend_beyond_hbm_budget(monkeypatch):
+    """Auto rule: over the dense-block budget, a mostly-binary design
+    must pick bitpack; a dense-ish design where ELL would be even
+    larger stays hybrid as the least-bad option."""
+    import bayesbridge_tpu.design.sparse as sparse_mod
+    monkeypatch.setattr(sparse_mod, '_HYBRID_MAX_BYTES', 1e3)
+    monkeypatch.setattr(sparse_mod, '_BITPACK_MAX_BYTES', 1e9)
+
+    rng = np.random.default_rng(0)
+    X_bin = sps.csr_matrix((rng.random((200, 64)) < 0.1).astype(float))
+    d = SparseDesignMatrix(X_bin, add_intercept=False,
+                           center_predictor=False, backend='auto',
+                           dtype=np.float32)
+    assert d.backend == 'bitpack'
+
+    dense_vals = rng.standard_normal((200, 64)) * (rng.random((200, 64)) < .9)
+    X_dense = sps.csr_matrix(dense_vals)
+    d2 = SparseDesignMatrix(X_dense, add_intercept=False,
+                            center_predictor=False, backend='auto',
+                            dtype=np.float32)
+    assert d2.backend == 'hybrid'
