@@ -81,8 +81,12 @@ def _lut_kernel(lut_lo_ref, lut_hi_ref, bits_ref, out_ref, *, n_chunk):
     rows = []
     for k in range(n_chunk):
         idx = bits_ref[:, k * _LANE:(k + 1) * _LANE].astype(jnp.int32)
-        g_lo = jnp.take_along_axis(lo, jnp.minimum(idx, _LANE - 1), axis=1)
-        g_hi = jnp.take_along_axis(hi, jnp.maximum(idx - _LANE, 0), axis=1)
+        # Gathers are within one 128-lane register; idx & 127 serves
+        # both halves (the unused half's lanes are discarded by the
+        # select on the byte's top bit).
+        low7 = idx & (_LANE - 1)
+        g_lo = jnp.take_along_axis(lo, low7, axis=1)
+        g_hi = jnp.take_along_axis(hi, low7, axis=1)
         gathered = jnp.where(idx < _LANE, g_lo, g_hi)
         rows.append(jnp.sum(gathered, axis=0))
     out_ref[:] += jnp.stack(rows)

@@ -165,6 +165,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             offsets = np.zeros(X.shape[1])
         self.column_offset = jnp.asarray(offsets, dtype)
 
+        X_csc = None  # one shared CSC view; conversions cost ~12 B/nnz
         if backend == 'auto':
             n, p = X.shape
             X_csc = X.tocsc()
@@ -203,10 +204,12 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         self.backend = backend
         self._bitpack_meta = None
 
+        if X_csc is None and backend in ('hybrid', 'bitpack'):
+            X_csc = X.tocsc()
         if backend == 'hybrid':
-            self._build_hybrid(X, dtype)
+            self._build_hybrid(X_csc, dtype)
         elif backend == 'bitpack':
-            self._build_bitpack(X, dtype)
+            self._build_bitpack(X, X_csc, dtype)
         elif backend == 'ell':
             self._build_ell(X, dtype)
         else:
@@ -214,9 +217,8 @@ class SparseDesignMatrix(AbstractDesignMatrix):
 
     # -- construction ---------------------------------------------------- #
 
-    def _build_hybrid(self, X, dtype):
+    def _build_hybrid(self, X_csc, dtype):
         import ml_dtypes
-        X_csc = X.tocsc()
         # 0/1-valued data squares to itself: lets Fisher diagonals reuse
         # the plain weighted column sums with no squared transient.
         self.exact_is_binary = bool(np.all(
@@ -230,7 +232,8 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             # (2 B/elem) for the usually-larger bf16-exact column set.
             int8_mask = _int8_exact_columns(X_csc)
             bf16_mask = _bf16_exact_columns(X_csc)
-            n_int8, n_bf16, p = int8_mask.sum(), bf16_mask.sum(), X.shape[1]
+            n_int8, n_bf16 = int8_mask.sum(), bf16_mask.sum()
+            p = X_csc.shape[1]
             if 1 * n_int8 + 4 * (p - n_int8) <= 2 * n_bf16 + 4 * (p - n_bf16):
                 exact_mask, exact_dtype = int8_mask, np.dtype(np.int8)
             else:
@@ -247,12 +250,12 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         self.X_float = jnp.asarray(
             _densify_columns(X_csc, float_cols, dtype))
 
-    def _build_bitpack(self, X, dtype):
+    def _build_bitpack(self, X_csr, X_csc, dtype):
         """Dual bitmap over the 0/1 columns (one bit per element in each
-        orientation, built chunk-wise so no full dense boolean transient
-        ever materializes) plus a narrow dense block for the rest."""
-        X_csc = X.tocsc()
-        n, p = X.shape
+        orientation, packed O(nnz) straight from the index structure —
+        no dense transient, no column-subset copies) plus a narrow dense
+        block for the rest."""
+        n, p = X_csr.shape
         binary_mask = _binary_column_mask(X_csc)
         bin_cols = np.where(binary_mask)[0]
         float_cols = np.where(~binary_mask)[0]
@@ -274,16 +277,21 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         bits_col = np.zeros((gcol_pad, n_pad), dtype=np.uint8)
         bits_row = np.zeros((grow_pad, pbin_pad), dtype=np.uint8)
         if p_bin:
-            # O(nnz) packing straight from the index structure: indices
-            # within one column (CSC) / row (CSR) are unique, so the
-            # fancy-indexed |= never collides.
-            X_bc = X_csc[:, bin_cols]
-            for j in range(p_bin):
-                rows = X_bc.indices[X_bc.indptr[j]:X_bc.indptr[j + 1]]
-                bits_col[j >> 3, rows] |= np.uint8(1 << (j & 7))
-            X_br = X_bc.tocsr()
+            # Indices within one CSC column / CSR row are unique, so the
+            # fancy-indexed |= never collides. The original matrices are
+            # read in place; non-binary columns are skipped by the
+            # bin_cols -> packed-column map.
+            col_of = np.full(p, -1, dtype=np.int64)
+            col_of[bin_cols] = np.arange(p_bin)
+            for jb, j in enumerate(bin_cols):
+                rows = X_csc.indices[X_csc.indptr[j]:X_csc.indptr[j + 1]]
+                bits_col[jb >> 3, rows] |= np.uint8(1 << (jb & 7))
+            all_binary = p_bin == p
             for i in range(n):
-                cols = X_br.indices[X_br.indptr[i]:X_br.indptr[i + 1]]
+                cols = X_csr.indices[X_csr.indptr[i]:X_csr.indptr[i + 1]]
+                if not all_binary:
+                    cols = col_of[cols]
+                    cols = cols[cols >= 0]
                 bits_row[i >> 3, cols] |= np.uint8(1 << (i & 7))
         self.bits_col = jnp.asarray(bits_col)
         self.bits_row = jnp.asarray(bits_row)
