@@ -32,6 +32,28 @@ from . import step as step_mod
 
 _SAVABLE_PARAMS = ('coef', 'local_scale', 'global_scale', 'obs_prec', 'logp')
 
+# Some PJRT plugins (e.g. the tunneled 'axon' TPU backend) cannot run
+# host callbacks from inside compiled programs; probe once per backend.
+_CALLBACK_SUPPORT = {}
+
+
+def _backend_supports_callbacks():
+    backend = jax.default_backend()
+    if backend not in _CALLBACK_SUPPORT:
+        def _noop(_):
+            pass
+
+        def _probe(x):
+            jax.debug.callback(_noop, x)
+            return x + 1.0
+
+        try:
+            np.asarray(jax.jit(_probe)(jnp.zeros(())))
+            _CALLBACK_SUPPORT[backend] = True
+        except Exception:
+            _CALLBACK_SUPPORT[backend] = False
+    return _CALLBACK_SUPPORT[backend]
+
 
 class BayesBridge:
     """Gibbs sampler for Bayesian bridge sparse regression."""
@@ -121,9 +143,15 @@ class BayesBridge:
         n_remainder = (n_iter - n_burnin) - n_sample * thin
         status_interval = 0
         if n_status_update > 0:
-            status_interval = max(1, n_iter // min(n_iter, n_status_update))
-            cfg._status['manager'] = self.manager
-            cfg._status['n_iter'] = n_iter
+            if _backend_supports_callbacks():
+                status_interval = max(
+                    1, n_iter // min(n_iter, n_status_update))
+                cfg._status['manager'] = self.manager
+                cfg._status['n_iter'] = n_iter
+            else:
+                warn("In-scan status updates need host callbacks, which "
+                     "this JAX backend does not support; running without "
+                     "status printing.")
 
         carry, outputs = step_mod.run_chain(
             cfg, self.model, carry, n_burnin, n_sample, thin, n_remainder,

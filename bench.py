@@ -38,13 +38,18 @@ _PEAK_HBM_GBPS = float(os.environ.get('BB_PEAK_HBM_GBPS', 819.0))
 
 def build_data(n_obs, n_pred, seed=0):
     import scipy.sparse as sps
-    cache = f'/tmp/bb_bench_cache_n{n_obs}_p{n_pred}_s{seed}.npz'
-    if os.path.exists(cache):
-        with np.load(cache) as z:
-            X = sps.csr_matrix(
-                (z['data'], z['indices'], z['indptr']),
-                shape=(n_obs, n_pred))
-            return X, (z['n_success'], z['n_trial'])
+    # Raw .npy files (not .npz): the zip container's single-threaded
+    # CRC pass costs minutes at 10 GB, while raw arrays memory-map.
+    cache = f'/tmp/bb_bench_cache_n{n_obs}_p{n_pred}_s{seed}'
+    parts = ('data', 'indices', 'indptr', 'n_success', 'n_trial')
+    if all(os.path.exists(f'{cache}.{k}.npy') for k in parts):
+        arr = {k: np.load(f'{cache}.{k}.npy', mmap_mode='r')
+               for k in parts}
+        X = sps.csr_matrix(
+            (arr['data'], arr['indices'], arr['indptr']),
+            shape=(n_obs, n_pred))
+        return X, (np.asarray(arr['n_success']),
+                   np.asarray(arr['n_trial']))
     from bayesbridge_tpu.utils.simulate_data import (
         simulate_design, simulate_outcome,
     )
@@ -54,9 +59,9 @@ def build_data(n_obs, n_pred, seed=0):
     outcome = simulate_outcome(X, beta, 'logit', seed=seed + 1)
     if n_obs * n_pred >= 1e9:  # cache the expensive full-size build
         try:
-            np.savez(cache, data=X.data, indices=X.indices,
-                     indptr=X.indptr, n_success=outcome[0],
-                     n_trial=outcome[1])
+            for k, v in zip(parts, (X.data, X.indices, X.indptr,
+                                    outcome[0], outcome[1])):
+                np.save(f'{cache}.{k}.npy', v)
         except OSError:
             pass
     return X, outcome

@@ -32,8 +32,16 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--small', action='store_true',
                         help='tiny version for a quick smoke run')
+    parser.add_argument('--cpu', action='store_true',
+                        help='force the CPU backend (remote-attached '
+                             'accelerators pay an RPC round trip per '
+                             'host-driven step, which dwarfs the compute '
+                             'at demo sizes)')
     parser.add_argument('--plot', action='store_true')
     args = parser.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
 
     n_obs, n_pred = (500, 100) if args.small else (10_000, 1_000)
     n_burnin, n_iter = (50, 150) if args.small else (250, 1_000)
