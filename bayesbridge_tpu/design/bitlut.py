@@ -26,8 +26,8 @@ The lookup maps onto the TPU's within-register ``dynamic_gather``
 (Mosaic lowers ``jnp.take_along_axis(table, idx, axis=1)`` with matching
 (rows, 128) shapes to one VPU gather): the 256-entry table is split into
 two 128-lane registers selected by the byte's top bit. Per byte that is
-~6 VPU ops for 8 matrix elements — measured 480 Gelem/s on a v5e chip,
-~65x the XLA ELL-gather path at 1% density and 32x less HBM than f32
+~6 VPU ops for 8 matrix elements — measured ~660 Gelem/s on a v5e chip,
+~60x the XLA ELL-gather path at 1% density and 32x less HBM than f32
 dense storage. Both matvec directions use this one kernel with the two
 bitmap orientations (row-packed and column-packed), mirroring the
 dual-ELL layout.

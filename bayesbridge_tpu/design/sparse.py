@@ -27,7 +27,7 @@ hardware is actually fast at. Two interchangeable backends:
     reference serves with MKL CSR matvecs, mkl_matvec.py:17-56): 0/1
     columns stored as a dual bitmap — ONE bit per element in both
     orientations — with matvecs evaluated by the Pallas byte-LUT gather
-    kernel in :mod:`.bitlut` (~480 Gelem/s on v5e, ~65x the ELL gather
+    kernel in :mod:`.bitlut` (~660 Gelem/s on v5e, ~60x the ELL gather
     path at 1% density, 32x less HBM than f32 dense). Non-binary
     columns ride in a narrow dense side block.
 
