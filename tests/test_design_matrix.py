@@ -210,3 +210,17 @@ def test_matvec_counters_and_memoization():
     assert design.dot_count == 1
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
     design.memoize_dot(False)
+
+
+def test_profiling_trace_writes_artifacts(tmp_path):
+    """utils.profiling.trace captures an XLA trace of the block."""
+    import os
+    import jax.numpy as jnp
+    import jax
+    from bayesbridge_tpu.utils.profiling import annotate, trace
+
+    with trace(str(tmp_path)):
+        with annotate('test-region'):
+            jax.block_until_ready(jnp.ones((32, 32)) @ jnp.ones((32, 32)))
+    found = [f for d, _, fs in os.walk(tmp_path) for f in fs]
+    assert found, "no trace artifacts written"

@@ -138,3 +138,19 @@ def test_rhat_detects_disagreement():
     bad = good + np.arange(4)[:, None] * 10.0  # chains at different means
     assert compute_split_rhat(good[..., None, :]).item() < 1.1
     assert compute_split_rhat(bad[..., None, :]).item() > 2.0
+
+
+def test_multichain_cox_family():
+    """Chains vmap over the Cox carry too (obs_prec is empty there)."""
+    outcome, X, _ = simulate_data(model='cox', seed=4, n_obs=60, n_pred=10)
+    model = RegressionModel(outcome, X, family='cox')
+    prior = RegressionCoefPrior(bridge_exponent=.5,
+                                regularizing_slab_size=2.)
+    bridge = BayesBridge(model, prior)
+    samples, info = gibbs_chains(
+        bridge, 6, 2, seed=9, coef_sampler_type='hmc',
+        init={'coef': np.zeros(bridge.n_pred), 'global_scale': .1,
+              'local_scale': np.ones(bridge.n_pred)},
+        params_to_save=('coef', 'logp'))
+    assert samples['coef'].shape == (2, bridge.n_pred, 6)
+    assert np.all(np.isfinite(samples['logp']))
