@@ -112,14 +112,53 @@ def roofline(design, mean_cg_iter, iters_per_sec):
     return out
 
 
+def _build_model_cached(X, outcome, dtype, cache_key):
+    """RegressionModel whose (expensive) sparse-design construction is
+    cached as raw arrays: the CSR -> CSC conversion, exactness scans and
+    block densification cost ~10 min at the flagship size, while the
+    finished blocks reload in seconds via the design's own pytree
+    protocol."""
+    import glob
+    import pickle
+    import jax
+    from bayesbridge_tpu import RegressionModel
+    from bayesbridge_tpu.design.sparse import SparseDesignMatrix
+
+    base = f'/tmp/bb_bench_design_{cache_key}'
+    meta_path = f'{base}.meta.pkl'
+    if os.path.exists(meta_path):
+        with open(meta_path, 'rb') as f:
+            aux, n_leaves = pickle.load(f)
+        leaves = [np.load(f'{base}.leaf{i}.npy', mmap_mode='r')
+                  for i in range(n_leaves)]
+        design = SparseDesignMatrix.tree_unflatten(
+            aux, [jax.numpy.asarray(leaf) for leaf in leaves])
+        from bayesbridge_tpu.models.logistic import LogisticModel
+        return LogisticModel(outcome[0], outcome[1], design)
+
+    model = RegressionModel(outcome, X, family='logit', dtype=dtype)
+    design = model.design
+    if isinstance(design, SparseDesignMatrix):
+        try:
+            leaves, aux = design.tree_flatten()
+            for i, leaf in enumerate(leaves):
+                np.save(f'{base}.leaf{i}.npy', np.asarray(leaf))
+            with open(meta_path, 'wb') as f:
+                pickle.dump((aux, len(leaves)), f)
+        except OSError:
+            for stale in glob.glob(f'{base}*'):
+                os.remove(stale)
+    return model
+
+
 def time_tpu(X, outcome, n_iter, bridge_exp=0.5):
     import jax
-    from bayesbridge_tpu import (
-        BayesBridge, RegressionModel, RegressionCoefPrior,
-    )
+    from bayesbridge_tpu import BayesBridge, RegressionCoefPrior
 
     dtype = np.float32 if jax.default_backend() != 'cpu' else None
-    model = RegressionModel(outcome, X, family='logit', dtype=dtype)
+    model = _build_model_cached(
+        X, outcome, dtype,
+        f'n{X.shape[0]}_p{X.shape[1]}_{np.dtype(dtype or np.float64).name}')
     prior = RegressionCoefPrior(bridge_exponent=bridge_exp,
                                 regularizing_slab_size=2.)
     bridge = BayesBridge(model, prior)
