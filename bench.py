@@ -136,7 +136,12 @@ def _build_model_cached(X, outcome, dtype, cache_key):
         from bayesbridge_tpu.models.logistic import LogisticModel
         return LogisticModel(outcome[0], outcome[1], design)
 
-    model = RegressionModel(outcome, X, family='logit', dtype=dtype)
+    # Build with host-resident leaves (the accelerator may sit behind a
+    # slow tunnel, where fetching GB-scale blocks back for the cache
+    # save costs more than it buys; the jitted chain transfers them to
+    # the device at first execution either way).
+    with jax.default_device(jax.devices('cpu')[0]):
+        model = RegressionModel(outcome, X, family='logit', dtype=dtype)
     design = model.design
     if isinstance(design, SparseDesignMatrix):
         try:
