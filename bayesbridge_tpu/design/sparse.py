@@ -133,6 +133,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         if _parts is not None:  # pytree unflatten path
             (self.backend, self._shape_main, self._nnz,
              self.exact_is_binary, self._bitpack_meta) = _parts[0]
+            self._bitpack_shard = None
             arrays = _parts[1]
             if self.backend == 'hybrid':
                 (self.X_exact, self.X_float, self.exact_cols,
@@ -203,6 +204,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 backend = 'ell'
         self.backend = backend
         self._bitpack_meta = None
+        self._bitpack_shard = None
 
         if X_csc is None and backend in ('hybrid', 'bitpack'):
             X_csc = X.tocsc()
@@ -320,17 +322,20 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         aux = (self.intercept_added, self.centered, self.backend,
                self._shape_main, self._nnz,
                getattr(self, 'exact_is_binary', False),
-               getattr(self, '_bitpack_meta', None))
+               getattr(self, '_bitpack_meta', None),
+               getattr(self, '_bitpack_shard', None))
         return arrays, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (intercept_added, centered, backend, shape_main, nnz, binary,
-         bitpack_meta) = aux
-        return cls(None, center_predictor=centered,
-                   add_intercept=intercept_added,
-                   _parts=((backend, shape_main, nnz, binary,
-                            bitpack_meta), children))
+         bitpack_meta, bitpack_shard) = aux
+        obj = cls(None, center_predictor=centered,
+                  add_intercept=intercept_added,
+                  _parts=((backend, shape_main, nnz, binary,
+                           bitpack_meta), children))
+        obj._bitpack_shard = bitpack_shard
+        return obj
 
     # -- shape / metadata ------------------------------------------------ #
 
@@ -369,21 +374,76 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         return Xe.astype(jnp.bfloat16) if Xe.dtype == jnp.int8 else Xe
 
     def _bitpack_dot_bin(self, v_bin):
-        """Binary-column part of X @ v via the byte-LUT Pallas kernel."""
+        """Binary-column part of X @ v via the byte-LUT Pallas kernel.
+        On a mesh (`shard_bitpack`), each device runs the kernel on its
+        row shard of the column-packed bitmap — X v is embarrassingly
+        row-local."""
         p_bin, gcol_pad, n_pad, k_dot, *_, interpret = self._bitpack_meta
         v_pad = jnp.zeros(8 * gcol_pad, v_bin.dtype).at[:p_bin].set(v_bin)
-        return bitlut.bitpacked_matvec(
-            self.bits_col, v_pad, self._shape_main[0], k_dot,
-            interpret=interpret)
+        if self._bitpack_shard is None:
+            return bitlut.bitpacked_matvec(
+                self.bits_col, v_pad, self._shape_main[0], k_dot,
+                interpret=interpret)
+        mesh, ax = self._bitpack_shard
+        from jax.sharding import PartitionSpec as P
+        f = jax.shard_map(
+            lambda bits, v: bitlut.bitpacked_matvec(
+                bits, v, bits.shape[1], k_dot, interpret=interpret),
+            mesh=mesh, in_specs=(P(None, ax), P()), out_specs=P(ax),
+            check_vma=False)
+        return f(self.bits_col, v_pad)[:self._shape_main[0]]
 
     def _bitpack_tdot_bin(self, u):
         """Binary-column part of X' @ u via the same kernel on the
-        row-packed bitmap."""
+        row-packed bitmap. On a mesh, each device reduces its row
+        shard's partial X' u and the partials are psum-ed over ICI."""
         (p_bin, _, _, _, grow_pad, _, k_tdot,
          interpret) = self._bitpack_meta
         u_pad = jnp.zeros(8 * grow_pad, u.dtype).at[:u.shape[0]].set(u)
-        return bitlut.bitpacked_matvec(
-            self.bits_row, u_pad, p_bin, k_tdot, interpret=interpret)
+        if self._bitpack_shard is None:
+            return bitlut.bitpacked_matvec(
+                self.bits_row, u_pad, p_bin, k_tdot, interpret=interpret)
+        mesh, ax = self._bitpack_shard
+        from jax.sharding import PartitionSpec as P
+        f = jax.shard_map(
+            lambda bits, u_loc: jax.lax.psum(
+                bitlut.bitpacked_matvec(bits, u_loc, p_bin, k_tdot,
+                                        interpret=interpret), ax),
+            mesh=mesh, in_specs=(P(ax, None), P(ax)), out_specs=P(),
+            check_vma=False)
+        return f(self.bits_row, u_pad)
+
+    def shard_bitpack(self, mesh, axis_name):
+        """Shard the dual bitmaps over `mesh[axis_name]` along the
+        OBSERVATION axis (bits_col by its output/lane axis, bits_row by
+        its input/byte-group axis), re-padding so every device holds
+        whole kernel blocks. X_float rows shard along the same axis;
+        the p-length state stays replicated. Returns self."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.backend != 'bitpack':
+            raise ValueError("shard_bitpack requires the bitpack backend")
+        n_dev = mesh.shape[axis_name]
+        (p_bin, gcol_pad, n_pad, k_dot, grow_pad, pbin_pad, k_tdot,
+         interpret) = self._bitpack_meta
+        n_pad2 = -(-n_pad // (n_dev * k_dot * 128)) * (n_dev * k_dot * 128)
+        grow_pad2 = -(-grow_pad // (n_dev * 32)) * (n_dev * 32)
+        self.bits_col = jnp.asarray(bitlut.pad_packed(
+            np.asarray(self.bits_col), gcol_pad, n_pad2))
+        self.bits_row = jnp.asarray(bitlut.pad_packed(
+            np.asarray(self.bits_row), grow_pad2, pbin_pad))
+        self._bitpack_meta = (p_bin, gcol_pad, n_pad2, k_dot,
+                              grow_pad2, pbin_pad, k_tdot, interpret)
+        put = lambda x, spec: jax.device_put(
+            x, NamedSharding(mesh, spec))
+        self.bits_col = put(self.bits_col, P(None, axis_name))
+        self.bits_row = put(self.bits_row, P(axis_name, None))
+        if self.X_float.size:
+            row_spec = P(axis_name, None) \
+                if self.X_float.shape[0] % n_dev == 0 else P()
+            self.X_float = put(self.X_float, row_spec)
+        self.column_offset = put(self.column_offset, P())
+        self._bitpack_shard = (mesh, axis_name)
+        return self
 
     def main_dot(self, v_main):
         """(X_main - 1 column_offset') @ v_main."""

@@ -90,10 +90,12 @@ def shard_design(design, mesh, axis_name=SHARD_AXIS, pred_axis=None):
         return design
     if isinstance(design, SparseDesignMatrix):
         if design.backend == 'bitpack':
-            raise NotImplementedError(
-                "The bitpack backend's Pallas matvec is single-device for "
-                "now; build the design with backend='hybrid' or 'ell' for "
-                "mesh sharding.")
+            # Dual bitmaps shard along observations via shard_map (the
+            # Pallas kernel runs per device shard; X'u partials psum
+            # over ICI). The predictor axis stays unsharded: the bitmaps
+            # are 32x smaller than f32 dense, so the observation axis is
+            # the capacity axis that matters at bitpack scale.
+            return design.shard_bitpack(mesh, axis_name)
         if design.backend == 'hybrid':
             # Dense blocks shard along observations (and predictors on a
             # 2-d mesh); the X'u / Xv partial products then reduce over

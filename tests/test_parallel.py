@@ -131,3 +131,37 @@ def test_sharded_full_chain_runs():
         save_keys=('coef', 'logp'))
     assert outputs['coef'].shape[0] == 3
     assert np.all(np.isfinite(np.asarray(outputs['logp'])))
+
+
+@pytest.mark.skipif(len(jax.devices()) < N_DEV,
+                    reason="needs the 8-device CPU mesh")
+def test_bitpack_backend_shards_over_mesh():
+    """The bitpacked bitmaps shard along observations via shard_map and
+    must reproduce the unsharded products and Gibbs step."""
+    model, cfg, carry = _build(backend='bitpack')
+    design = model.design
+    rng = np.random.default_rng(2)
+    v = jnp.asarray(rng.standard_normal(design.shape[1]))
+    u = jnp.asarray(rng.standard_normal(design.shape[0]))
+    ref_dot = np.asarray(design.dot(v))
+    ref_tdot = np.asarray(design.Tdot(u))
+
+    step = jax.jit(lambda m, c: step_mod.gibbs_step(cfg, m, c))
+    ref_carry, ref_out = step(model, carry)
+
+    mesh = make_mesh(N_DEV)
+    shard_model(model, mesh)
+    assert model.design._bitpack_shard is not None
+    assert len(model.design.bits_row.sharding.device_set) == N_DEV
+
+    np.testing.assert_allclose(np.asarray(model.design.dot(v)), ref_dot,
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(model.design.Tdot(u)),
+                               ref_tdot, rtol=1e-8, atol=1e-10)
+
+    sh_carry, sh_out = step(model, carry)
+    np.testing.assert_allclose(
+        np.asarray(ref_out['coef']), np.asarray(sh_out['coef']),
+        rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        float(ref_out['logp']), float(sh_out['logp']), rtol=1e-6)
