@@ -68,6 +68,18 @@ def pack_bits(dense_01, axis):
     return np.ascontiguousarray(packed.T if axis == 1 else packed)
 
 
+def _gather_lanes(table, idx):
+    """take_along_axis(table, idx, axis=1) with int32 indices preserved.
+
+    Mosaic lowers this exact jnp pattern to one within-register
+    ``dynamic_gather`` but rejects 64-bit index vectors; under
+    jax_enable_x64 the jnp wrapper would promote the int32 indices to
+    int64, so the promotion is locally disabled.
+    """
+    with jax.enable_x64(False):
+        return jnp.take_along_axis(table, idx, axis=1)
+
+
 def _lut_kernel(lut_lo_ref, lut_hi_ref, bits_ref, out_ref, *, n_chunk):
     """out[m] += sum_g lut[g, bits[g, m]] over this block's byte-groups."""
     group_idx = pl.program_id(1)
@@ -85,8 +97,8 @@ def _lut_kernel(lut_lo_ref, lut_hi_ref, bits_ref, out_ref, *, n_chunk):
         # both halves (the unused half's lanes are discarded by the
         # select on the byte's top bit).
         low7 = idx & (_LANE - 1)
-        g_lo = jnp.take_along_axis(lo, low7, axis=1)
-        g_hi = jnp.take_along_axis(hi, low7, axis=1)
+        g_lo = _gather_lanes(lo, low7)
+        g_hi = _gather_lanes(hi, low7)
         gathered = jnp.where(idx < _LANE, g_lo, g_hi)
         rows.append(jnp.sum(gathered, axis=0))
     out_ref[:] += jnp.stack(rows)
@@ -110,30 +122,43 @@ def bitpacked_matvec(bits, v, n_out, n_chunk, interpret=False):
     n_chunk : int
         128-lane chunks per block (static; from `plan_blocks`).
     """
+    import contextlib
+
     g_pad, m_pad = bits.shape
     dtype = v.dtype
+    if not interpret and dtype == jnp.float64:
+        raise NotImplementedError(
+            "The compiled bitpack kernel is 32-bit (Mosaic TPU has no "
+            "64-bit vectors); build the design with dtype=np.float32.")
     lut = jax.lax.dot_general(
         v.reshape(g_pad, 8), jnp.asarray(_BIT_MATRIX.T, dtype),
         (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST)
     jb = _JB if g_pad % _JB == 0 else 8
     ni = n_chunk * _LANE
     grid = (m_pad // ni, g_pad // jb)
-    out = pl.pallas_call(
-        functools.partial(_lut_kernel, n_chunk=n_chunk),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((jb, _LANE), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((jb, _LANE), lambda i, j: (j, 1),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((jb, ni), lambda i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((n_chunk, _LANE), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad // _LANE, _LANE), dtype),
-        interpret=interpret,
-    )(lut[:, :_LANE], lut[:, _LANE:], bits)
+    # Under jax_enable_x64 the kernel's auxiliary values (index maps,
+    # iota, loop carries) canonicalize to 64-bit, which Mosaic cannot
+    # legalize; the operands here are uint8/f32 regardless, so trace the
+    # compiled kernel with 32-bit canonicalization.
+    x64_off = jax.enable_x64(False) if not interpret \
+        else contextlib.nullcontext()
+    with x64_off:
+        out = pl.pallas_call(
+            functools.partial(_lut_kernel, n_chunk=n_chunk),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((jb, _LANE), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((jb, _LANE), lambda i, j: (j, 1),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((jb, ni), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_chunk, _LANE), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad // _LANE, _LANE), dtype),
+            interpret=interpret,
+        )(lut[:, :_LANE], lut[:, _LANE:], bits)
     return out.reshape(m_pad)[:n_out]
 
 

@@ -93,8 +93,12 @@ def update_obs_precision(cfg, model, key, coef):
             key, model.n_obs / 2.0, dtype=cfg.dtype)
         return gamma_draw / rate
     if model.name == 'logit':
+        # The draw computes in the design's dtype; keep the carry in the
+        # chain dtype (they differ when a narrow-storage design backs a
+        # float64 chain).
         return sample_polya_gamma(
-            key, model.n_trial_np, model.design.dot(coef))
+            key, model.n_trial_np, model.design.dot(coef)
+        ).astype(cfg.dtype)
     return jnp.zeros(0, cfg.dtype)  # cox: no observation precision
 
 
@@ -182,13 +186,17 @@ def compute_posterior_logprob(cfg, model, coef, gscale, obs_prec):
 def update_regress_coef(cfg, model, key, carry):
     """coef | obs_prec, gscale, lscale (bayesbridge.py:372-395)."""
     if cfg.coef_sampler_type in ('cholesky', 'cg'):
+        # The model's outcome arrays follow the session default dtype;
+        # cast to the chain dtype so the carry stays type-stable when a
+        # float32 chain runs inside a float64 session.
         if model.name == 'linear':
-            y_gauss = model.y
+            y_gauss = model.y.astype(cfg.dtype)
             obs_prec_vec = carry['obs_prec'] \
                 * jnp.ones(cfg.n_obs, cfg.dtype)
         else:  # logit: Polya-Gamma collapse to a Gaussian observation
             obs_prec_vec = carry['obs_prec']
-            y_gauss = (model.n_success - model.n_trial / 2.0) / obs_prec_vec
+            y_gauss = (model.n_success - model.n_trial / 2.0).astype(
+                cfg.dtype) / obs_prec_vec
         coef, summ, info = sample_gaussian_posterior(
             key, model.design, y_gauss, obs_prec_vec,
             carry['gscale'], carry['lscale'],
