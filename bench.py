@@ -127,14 +127,20 @@ def _build_model_cached(X, outcome, dtype, cache_key):
     base = f'/tmp/bb_bench_design_{cache_key}'
     meta_path = f'{base}.meta.pkl'
     if os.path.exists(meta_path):
-        with open(meta_path, 'rb') as f:
-            aux, n_leaves = pickle.load(f)
-        leaves = [np.load(f'{base}.leaf{i}.npy', mmap_mode='r')
-                  for i in range(n_leaves)]
-        design = SparseDesignMatrix.tree_unflatten(
-            aux, [jax.numpy.asarray(leaf) for leaf in leaves])
-        from bayesbridge_tpu.models.logistic import LogisticModel
-        return LogisticModel(outcome[0], outcome[1], design)
+        try:
+            with open(meta_path, 'rb') as f:
+                aux, n_leaves = pickle.load(f)
+            leaves = [np.load(f'{base}.leaf{i}.npy', mmap_mode='r')
+                      for i in range(n_leaves)]
+            design = SparseDesignMatrix.tree_unflatten(
+                aux, [jax.numpy.asarray(leaf) for leaf in leaves])
+            from bayesbridge_tpu.models.logistic import LogisticModel
+            return LogisticModel(outcome[0], outcome[1], design)
+        except Exception:
+            # Stale cache (e.g. the pytree layout changed between
+            # library versions): rebuild and overwrite.
+            for stale in glob.glob(f'{base}*'):
+                os.remove(stale)
 
     # Build with host-resident leaves (the accelerator may sit behind a
     # slow tunnel, where fetching GB-scale blocks back for the cache
