@@ -171,7 +171,7 @@ def plan_blocks(n_in, n_out):
     n_groups = _ceil_to(n_in, 8) // 8
     g_pad = _ceil_to(n_groups, _JB) if n_groups >= _JB \
         else _ceil_to(n_groups, 8)
-    n_chunk = min(_K, _ceil_to(n_out, _LANE) // _LANE)
+    n_chunk = max(1, min(_K, _ceil_to(n_out, _LANE) // _LANE))
     m_pad = _ceil_to(n_out, n_chunk * _LANE)
     return g_pad, m_pad, n_chunk
 

@@ -21,12 +21,14 @@ from ..utils.dtypes import default_float
 class DenseDesignMatrix(AbstractDesignMatrix):
 
     def __init__(self, X, center_predictor=False, add_intercept=True,
-                 copy_array=False, dtype=None, _skip_preprocess=False):
+                 copy_array=False, dtype=None, _skip_preprocess=False,
+                 _n_rows=None):
         super().__init__()
         self.intercept_added = add_intercept
         self.centered = center_predictor
         if _skip_preprocess:
             self.X = X  # pytree unflatten path: already processed
+            self._n_rows = _n_rows if _n_rows is not None else X.shape[0]
             return
         dtype = dtype or default_float()
         X = np.array(np.asarray(X), dtype=dtype, copy=True)
@@ -36,44 +38,54 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         if add_intercept:
             X = np.hstack((np.ones((X.shape[0], 1), dtype=dtype), X))
         self.X = jnp.asarray(X)
+        self._n_rows = X.shape[0]
 
     # -- pytree protocol ------------------------------------------------ #
 
     def tree_flatten(self):
-        aux = (self.intercept_added, self.centered)
+        aux = (self.intercept_added, self.centered, self._n_rows)
         return (self.X,), aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls(children[0], center_predictor=aux[1], add_intercept=aux[0],
-                  _skip_preprocess=True)
+                  _skip_preprocess=True, _n_rows=aux[2])
         return obj
 
     # -- interface ------------------------------------------------------ #
 
+    # The stored X may carry zero-padded observation rows (added by
+    # parallel.sharding._put_pad so an uneven row count still shards
+    # evenly over a mesh): products slice the padding back off / zero-pad
+    # operand vectors, so the padding is semantically inert.
+
     @property
     def shape(self):
-        return tuple(self.X.shape)
+        return (self._n_rows, self.X.shape[1])
 
     @property
     def is_sparse(self):
         return False
 
+    def _pad_obs(self, u):
+        pad = self.X.shape[0] - u.shape[0]
+        return u if pad == 0 else jnp.pad(u, (0, pad))
+
     def dot(self, v):
         memo = self._check_memo(v)
         if memo is not None:
             return memo
-        result = self.X @ jnp.asarray(v, self.X.dtype)
+        result = (self.X @ jnp.asarray(v, self.X.dtype))[:self._n_rows]
         self._store_memo(v, result)
         self.dot_count += 1
         return result
 
     def Tdot(self, v):
         self.Tdot_count += 1
-        return self.X.T @ jnp.asarray(v, self.X.dtype)
+        return self.X.T @ self._pad_obs(jnp.asarray(v, self.X.dtype))
 
     def compute_fisher_info(self, weight, diag_only=False):
-        weight = jnp.asarray(weight, self.X.dtype)
+        weight = self._pad_obs(jnp.asarray(weight, self.X.dtype))
         if diag_only:
             return jnp.sum(weight[:, None] * self.X ** 2, axis=0)
         return self.X.T @ (weight[:, None] * self.X)
@@ -84,7 +96,8 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         this unimplemented for dense designs (dense_matrix.py:60-65);
         provided here for parity with the sparse class."""
         weight = jnp.asarray(weight, self.X.dtype)
-        X_main = self.X[:, 1:] if self.intercept_added else self.X
+        X_main = self.X[:self._n_rows, 1:] if self.intercept_added \
+            else self.X[:self._n_rows]
         weight_main = weight[1:] if include_intrcpt else weight
         result = (X_main * weight_main[None, :]) @ X_main.T
         if include_intrcpt:
@@ -92,7 +105,7 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         return result
 
     def toarray(self):
-        return np.asarray(self.X)
+        return np.asarray(self.X[:self._n_rows])
 
     def extract_matrix(self, order=None):
-        return self.X
+        return self.X[:self._n_rows]

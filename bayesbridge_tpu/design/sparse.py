@@ -262,6 +262,12 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         bin_cols = np.where(binary_mask)[0]
         float_cols = np.where(~binary_mask)[0]
         p_bin = len(bin_cols)
+        if p_bin == 0 and p > 0:
+            raise ValueError(
+                "backend='bitpack' requires at least one exactly-0/1 "
+                "column (the bitmap kernel stores one bit per element); "
+                "this design has none. Use backend='hybrid', 'winell' "
+                "or 'ell' instead.")
         self.exact_is_binary = True
         self.bin_cols = jnp.asarray(bin_cols, jnp.int32)
         self.float_cols = jnp.asarray(float_cols, jnp.int32)
@@ -366,6 +372,16 @@ class SparseDesignMatrix(AbstractDesignMatrix):
 
     # -- core products --------------------------------------------------- #
 
+    # Stored blocks may carry zero-padded rows/columns (added by
+    # parallel.sharding._put_pad so uneven shapes still shard evenly
+    # over a mesh): operand vectors are zero-padded to the stored width
+    # and outputs sliced back, making the padding semantically inert.
+
+    @staticmethod
+    def _pad1(u, m):
+        pad = m - u.shape[0]
+        return u if pad == 0 else jnp.pad(u, (0, pad))
+
     def _exact_block(self):
         """The exact block as an MXU operand. int8 is widened to bf16
         (exact for integers up to 127); XLA fuses the convert into the
@@ -447,13 +463,18 @@ class SparseDesignMatrix(AbstractDesignMatrix):
 
     def main_dot(self, v_main):
         """(X_main - 1 column_offset') @ v_main."""
+        n = self._shape_main[0]
         if self.backend == 'hybrid':
             # bf16 @ f32 promotes: XLA fuses the up-convert into the MXU
             # matmul, so HBM traffic stays at the stored (int8/bf16) width.
-            result = self._exact_block() @ jnp.take(v_main, self.exact_cols)
+            Xe = self._exact_block()
+            result = Xe @ self._pad1(
+                jnp.take(v_main, self.exact_cols), Xe.shape[1])
             if self.float_cols.size:
-                result = result + self.X_float @ jnp.take(
-                    v_main, self.float_cols)
+                result = result + self.X_float @ self._pad1(
+                    jnp.take(v_main, self.float_cols),
+                    self.X_float.shape[1])
+            result = result[:n]
         elif self.backend == 'bitpack':
             result = self._bitpack_dot_bin(jnp.take(v_main, self.bin_cols))
             if self.float_cols.size:
@@ -461,7 +482,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                     v_main, self.float_cols)
         else:
             gathered = jnp.take(v_main, self.row_idx, axis=0)
-            result = jnp.sum(self.row_val * gathered, axis=1)
+            result = jnp.sum(self.row_val * gathered, axis=1)[:n]
         return result - self.column_offset @ v_main
 
     def main_Tdot(self, u):
@@ -469,10 +490,14 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         if self.backend == 'hybrid':
             out_dtype = self.column_offset.dtype
             p_main = self._shape_main[1]
+            Xe = self._exact_block()
+            u_pad = self._pad1(u, Xe.shape[0])
             result = jnp.zeros(p_main, out_dtype)
-            result = result.at[self.exact_cols].set(self._exact_block().T @ u)
+            result = result.at[self.exact_cols].set(
+                (Xe.T @ u_pad)[:self.exact_cols.shape[0]])
             if self.float_cols.size:
-                result = result.at[self.float_cols].set(self.X_float.T @ u)
+                result = result.at[self.float_cols].set(
+                    (self.X_float.T @ u_pad)[:self.float_cols.shape[0]])
         elif self.backend == 'bitpack':
             p_main = self._shape_main[1]
             result = jnp.zeros(p_main, self.column_offset.dtype)
@@ -481,7 +506,8 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 result = result.at[self.float_cols].set(self.X_float.T @ u)
         else:
             gathered = jnp.take(u, self.col_idx, axis=0)
-            result = jnp.sum(self.col_val * gathered, axis=1)
+            result = jnp.sum(self.col_val * gathered,
+                             axis=1)[:self._shape_main[1]]
         return result - jnp.sum(u) * self.column_offset
 
     def dot(self, v):
@@ -534,15 +560,17 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                     Xe = jnp.square(Xe.astype(out_dtype))
                 Xf = Xf * Xf
             p_main = self._shape_main[1]
+            w_pad = self._pad1(weight, Xe.shape[0])
             r = jnp.zeros(p_main, out_dtype)
-            r = r.at[self.exact_cols].set(
-                jnp.asarray(Xe.T @ weight, out_dtype))
+            r = r.at[self.exact_cols].set(jnp.asarray(
+                (Xe.T @ w_pad)[:self.exact_cols.shape[0]], out_dtype))
             if self.float_cols.size:
-                r = r.at[self.float_cols].set(Xf.T @ weight)
+                r = r.at[self.float_cols].set(
+                    (Xf.T @ w_pad)[:self.float_cols.shape[0]])
             return r
         w_gather = jnp.take(weight, self.col_idx, axis=0)
         val = self.col_val ** power
-        return jnp.sum(val * w_gather, axis=1)
+        return jnp.sum(val * w_gather, axis=1)[:self._shape_main[1]]
 
     def compute_fisher_diag(self, weight):
         """diag(X' W X) with centering/intercept corrections
@@ -609,9 +637,12 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         dtype = self.dtype
         if self.backend == 'hybrid':
             X = jnp.zeros((n, p_main), dtype)
-            X = X.at[:, self.exact_cols].set(self.X_exact.astype(dtype))
+            X = X.at[:, self.exact_cols].set(
+                self.X_exact[:n, :self.exact_cols.shape[0]].astype(dtype))
             if self.float_cols.size:
-                X = X.at[:, self.float_cols].set(self.X_float.astype(dtype))
+                X = X.at[:, self.float_cols].set(
+                    self.X_float[:n,
+                                 :self.float_cols.shape[0]].astype(dtype))
             return X
         if self.backend == 'bitpack':
             p_bin = self._bitpack_meta[0]
@@ -628,9 +659,10 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 X = X.at[:, self.float_cols].set(self.X_float.astype(dtype))
             return X
         zeros = jnp.zeros((n, p_main), dtype)
-        rows = jnp.broadcast_to(jnp.arange(n)[:, None], self.row_idx.shape)
+        row_idx, row_val = self.row_idx[:n], self.row_val[:n]
+        rows = jnp.broadcast_to(jnp.arange(n)[:, None], row_idx.shape)
         # Padded slots write value 0 at column 0: harmless under "add".
-        return zeros.at[rows, self.row_idx].add(self.row_val)
+        return zeros.at[rows, row_idx].add(row_val)
 
     def toarray(self):
         return np.asarray(self._materialize_dense())

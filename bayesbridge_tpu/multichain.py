@@ -19,6 +19,8 @@ the single-chain ``gibbs_resume``). Cross-chain diagnostics (split
 R-hat, pooled ESS) live in :mod:`bayesbridge_tpu.utils.mcmc_summarizer`.
 """
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -27,17 +29,42 @@ from .gibbs_util import SamplerOptions
 from . import step as step_mod
 
 
+@partial(jax.jit, static_argnames=('cfg', 'n_burnin', 'n_sample', 'thin',
+                                   'n_remainder', 'save_keys'))
+def _run_chains(cfg, model, carry, n_burnin, n_sample, thin, n_remainder,
+                save_keys):
+    """vmapped multi-chain scan. Module-level jit so the (large) vmapped
+    program compiles once per (cfg, shape) combination and is reused by
+    every ``gibbs_chains`` / ``gibbs_chains_resume`` call — a fresh
+    closure per call would recompile each time."""
+    return jax.vmap(
+        lambda c: step_mod.run_chain(
+            cfg, model, c, n_burnin, n_sample, thin, n_remainder,
+            save_keys=save_keys, status_interval=0)
+    )(carry)
+
+
 def _stack_chain_inits(bridge, init, n_chains, cfg):
-    """Resolve shared-or-per-chain inits into stacked start arrays."""
+    """Resolve shared-or-per-chain inits into stacked start arrays.
+
+    A single (possibly partial) init dict resolves ONCE and the result
+    is broadcast, so every chain starts from the same state even when
+    `initialize_chain` has to draw unspecified parameters or run the MAP
+    search — both for the documented semantics and to avoid repeating a
+    potentially minutes-long optimization n_chains times. Per-chain
+    (overdispersed) starts require an explicit sequence of dicts.
+    """
     if isinstance(init, dict) or init is None:
-        init = [dict(init) if init else {'global_scale': 0.1}
-                for _ in range(n_chains)]
-    if len(init) != n_chains:
+        shared = bridge.initialize_chain(
+            dict(init) if init else {'global_scale': 0.1},
+            bridge.prior.bridge_exp, cfg)[:4]
+        starts = [shared] * n_chains
+    elif len(init) != n_chains:
         raise ValueError(
             f"Got {len(init)} init dicts for {n_chains} chains.")
-    starts = [bridge.initialize_chain(dict(one), bridge.prior.bridge_exp,
-                                      cfg)[:4]
-              for one in init]
+    else:
+        starts = [bridge.initialize_chain(
+            dict(one), bridge.prior.bridge_exp, cfg)[:4] for one in init]
 
     def stack(i):
         return np.stack([
@@ -120,13 +147,8 @@ def _execute(bridge, cfg, carry, n_iter, n_burnin, thin, params_to_save,
 
     n_sample = (n_iter - n_burnin) // thin
     n_remainder = (n_iter - n_burnin) - n_sample * thin
-
-    def _run(model, carry):
-        return step_mod.run_chain(
-            cfg, model, carry, n_burnin, n_sample, thin, n_remainder,
-            save_keys=tuple(params_to_save), status_interval=0)
-
-    return jax.jit(jax.vmap(_run, in_axes=(None, 0)))(model, carry)
+    return _run_chains(cfg, model, carry, n_burnin, n_sample, thin,
+                       n_remainder, tuple(params_to_save))
 
 
 def _resolve_options(bridge, coef_sampler_type, options):

@@ -46,31 +46,32 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
     runs of the same script: if there is nothing to discover and no
     coordinator is given, it is a no-op.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if jax.distributed.is_initialized():
+        return  # already in a job; idempotent
     import os
-    from jax._src import xla_bridge
     env_driven = any(k in os.environ for k in (
         'JAX_COORDINATOR_ADDRESS', 'COORDINATOR_ADDRESS',
         'MEGASCALE_COORDINATOR_ADDRESS'))
     if coordinator_address is None and num_processes is None \
             and not env_driven:
         return  # single-process run; nothing to initialize
-    if xla_bridge.backends_are_initialized():
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id, **kwargs)
+    except RuntimeError:
         if coordinator_address is None and num_processes is None:
-            # Env hinted at a job but a backend already exists (e.g. a
+            # Env hinted at a job but jax refused (typically: a backend
+            # was already initialized by earlier JAX use in a
             # single-process run on a TPU VM whose image exports
             # coordinator variables): stay single-process.
             from warnings import warn
-            warn("initialize_multihost: a JAX backend is already "
-                 "initialized; continuing single-process. Call "
-                 "initialize_multihost() before any other JAX use to "
-                 "join a multi-host job.")
+            warn("initialize_multihost: could not join a multi-host "
+                 "job (a JAX backend is likely already initialized); "
+                 "continuing single-process. Call initialize_multihost() "
+                 "before any other JAX use to join a multi-host job.")
             return
-        # Explicit arguments: surface jax's own error.
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes, process_id=process_id, **kwargs)
+        raise  # explicit arguments: surface jax's own error
 
 
 def global_mesh(pred_shards=1, axis_name=SHARD_AXIS, pred_axis=PRED_AXIS):

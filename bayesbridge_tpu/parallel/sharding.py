@@ -30,7 +30,10 @@ axis — both collectives ride ICI on-pod. Build one with
 ``pred_axis=PRED_AXIS`` to ``shard_model``.
 """
 
+from warnings import warn
+
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -39,6 +42,11 @@ from ..design.sparse import SparseDesignMatrix
 
 SHARD_AXIS = 'shard'
 PRED_AXIS = 'pred'
+
+# Arrays above this size warn when an uneven mesh axis silently degrades
+# them to full replication (below it, replication is intended: the
+# p-length state vectors ride along replicated by design).
+_REPLICATION_WARN_BYTES = 16 * 2 ** 20
 
 
 def make_mesh(n_devices=None, devices=None, axis_name=SHARD_AXIS,
@@ -61,20 +69,52 @@ def make_mesh(n_devices=None, devices=None, axis_name=SHARD_AXIS,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def _axis_size(mesh, axis):
+    return int(np.prod([mesh.shape[a] for a in
+                        (axis if isinstance(axis, tuple) else (axis,))]))
+
+
 def _put(x, mesh, spec):
     # Drop mesh axes that don't divide the corresponding array dimension
     # (device_put requires even shards); the array stays replicated along
-    # that axis instead. Keeps 2-d sharding usable for arbitrary column
-    # counts — the narrow remainder block simply rides along replicated.
+    # that axis instead — warning loudly when the array is large enough
+    # that replication forfeits real memory scaling. The big design
+    # blocks never take this path: `_put_pad` zero-pads them to the mesh.
     cleaned = []
     for dim, axis in enumerate(spec):
         if axis is None:
             cleaned.append(None)
             continue
-        size = int(np.prod([mesh.shape[a] for a in
-                            (axis if isinstance(axis, tuple) else (axis,))]))
-        cleaned.append(axis if x.shape[dim] % size == 0 else None)
+        if x.shape[dim] % _axis_size(mesh, axis) == 0:
+            cleaned.append(axis)
+        else:
+            cleaned.append(None)
+            if x.size * x.dtype.itemsize >= _REPLICATION_WARN_BYTES:
+                warn("Mesh axis {!r} (size {}) does not divide array "
+                     "dimension {} (size {}); the {:.2f} GB array is "
+                     "REPLICATED on every device instead of sharded."
+                     .format(axis, _axis_size(mesh, axis), dim,
+                             x.shape[dim],
+                             x.size * x.dtype.itemsize / 1e9))
     return jax.device_put(x, NamedSharding(mesh, P(*cleaned)))
+
+
+def _put_pad(x, mesh, spec, pad_dims=(0,)):
+    """device_put with zero-padding of `pad_dims` to the mesh grid, so
+    an uneven observation (or predictor) count is padded and genuinely
+    sharded rather than silently replicated. The design classes slice
+    padded outputs / zero-pad operand vectors, so zero rows and columns
+    are semantically inert."""
+    pads = []
+    for dim, axis in enumerate(spec):
+        if axis is None or dim not in pad_dims:
+            pads.append((0, 0))
+            continue
+        size = _axis_size(mesh, axis)
+        pads.append((0, -int(x.shape[dim]) % size))
+    if any(p != (0, 0) for p in pads):
+        x = jnp.pad(x, pads)
+    return _put(x, mesh, spec)
 
 
 def shard_design(design, mesh, axis_name=SHARD_AXIS, pred_axis=None):
@@ -86,7 +126,8 @@ def shard_design(design, mesh, axis_name=SHARD_AXIS, pred_axis=None):
     """
     col = P(pred_axis) if pred_axis else P(axis_name)
     if isinstance(design, DenseDesignMatrix):
-        design.X = _put(design.X, mesh, P(axis_name, pred_axis))
+        design.X = _put_pad(design.X, mesh, P(axis_name, pred_axis),
+                            pad_dims=(0,))
         return design
     if isinstance(design, SparseDesignMatrix):
         if design.backend == 'bitpack':
@@ -99,18 +140,25 @@ def shard_design(design, mesh, axis_name=SHARD_AXIS, pred_axis=None):
         if design.backend == 'hybrid':
             # Dense blocks shard along observations (and predictors on a
             # 2-d mesh); the X'u / Xv partial products then reduce over
-            # ICI collectives inserted by GSPMD.
-            design.X_exact = _put(design.X_exact, mesh,
-                                  P(axis_name, pred_axis))
-            design.X_float = _put(design.X_float, mesh,
-                                  P(axis_name, pred_axis))
+            # ICI collectives inserted by GSPMD. Uneven row/column
+            # counts are zero-padded to the mesh (the design's products
+            # slice the padding back off) so the blocks are genuinely
+            # distributed at any shape.
+            design.X_exact = _put_pad(design.X_exact, mesh,
+                                      P(axis_name, pred_axis),
+                                      pad_dims=(0, 1))
+            design.X_float = _put_pad(design.X_float, mesh,
+                                      P(axis_name, pred_axis),
+                                      pad_dims=(0, 1))
         else:
-            design.row_idx = _put(design.row_idx, mesh, P(axis_name, None))
-            design.row_val = _put(design.row_val, mesh, P(axis_name, None))
+            design.row_idx = _put_pad(design.row_idx, mesh,
+                                      P(axis_name, None))
+            design.row_val = _put_pad(design.row_val, mesh,
+                                      P(axis_name, None))
             # The stored transpose shards along its own leading
             # (predictor) axis.
-            design.col_idx = _put(design.col_idx, mesh, col)
-            design.col_val = _put(design.col_val, mesh, col)
+            design.col_idx = _put_pad(design.col_idx, mesh, col)
+            design.col_val = _put_pad(design.col_val, mesh, col)
         design.column_offset = _put(design.column_offset, mesh, col)
         return design
     raise TypeError(type(design))

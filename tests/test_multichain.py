@@ -99,6 +99,39 @@ def test_overdispersed_per_chain_inits():
                      coef_sampler_type='cholesky')
 
 
+def test_shared_partial_init_broadcasts_one_start():
+    """A single (partial) init dict resolves once and every chain starts
+    from the same state, even when unspecified parameters are drawn."""
+    from bayesbridge_tpu.multichain import _stack_chain_inits
+    bridge = _make_bridge()
+    options = SamplerOptions.pick_default_and_create(
+        'cg', None, bridge.model.name, bridge.model.design)
+    cfg = bridge._get_step_config(options)
+    bridge.rg.set_seed(42)
+    coef, obs_prec, lscale, gscale = _stack_chain_inits(
+        bridge, {'global_scale': 0.1}, 3, cfg)
+    for arr in (coef, obs_prec, lscale, gscale):
+        for c in (1, 2):
+            np.testing.assert_array_equal(arr[c], arr[0])
+
+
+def test_multichain_jit_cache_is_reused():
+    """Repeated gibbs_chains calls with the same config must not
+    recompile the vmapped program."""
+    from bayesbridge_tpu.multichain import _run_chains
+    bridge = _make_bridge()
+    kwargs = dict(seed=1, coef_sampler_type='cholesky',
+                  params_to_save=('coef',),
+                  init={'coef': np.zeros(bridge.n_pred),
+                        'global_scale': 0.1,
+                        'local_scale': np.ones(
+                            bridge.n_pred - bridge.n_unshrunk)})
+    gibbs_chains(bridge, 3, 2, **kwargs)
+    size = _run_chains._cache_size()
+    gibbs_chains(bridge, 3, 2, **kwargs)
+    assert _run_chains._cache_size() == size
+
+
 def test_multichain_resume_equals_uninterrupted():
     """Per-chain resume must be bit-identical to the longer run."""
     bridge = _make_bridge()
