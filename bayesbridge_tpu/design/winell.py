@@ -71,22 +71,44 @@ def plan_windows(n_in, n_out, nnz):
     return W, K
 
 
+def _tile_block(n_out):
+    """(T, TB): padded tile count and tiles per kernel block (Mosaic
+    wants the second-minor block dim divisible by 8 or whole-array)."""
+    T = max(1, _ceil_to(n_out, _LANE) // _LANE)
+    TB = min(8, T)
+    return _ceil_to(T, TB), TB
+
+
+def estimate_bytes(shape, nnz):
+    """Predicted dual-orientation storage (6 B per slot: int16 idx +
+    f32 value) for the auto-selection heuristic — computable from shape
+    and nnz alone, before any packing."""
+    n, p = shape
+    total = 0
+    for n_in, n_out in ((p, n), (n, p)):
+        W, K = plan_windows(n_in, n_out, nnz)
+        T, _ = _tile_block(n_out)
+        Wn = max(1, _ceil_to(n_in, W) // W)
+        total += Wn * T * K * _LANE * 6
+    return total
+
+
 def pack_winell(X_csr, W, K):
     """Pack a CSR matrix (rows = outputs) into windowed-ELL arrays.
 
     Returns (idx, val, spill_csr) where idx/val have shape
-    (T * Wn * K, 128) — T output tiles, Wn input windows, K slots —
-    and spill_csr is a scipy CSR holding the (rare) entries beyond the
-    K-th slot of their cell, or None if there are none. O(nnz) time.
+    (Wn * T * K, 128) — Wn input windows (major), T output tiles, K
+    slots — and spill_csr is a scipy CSR holding the (rare) entries
+    beyond the K-th slot of their cell, or None. O(nnz) time.
     """
     import scipy.sparse as sps
     n_out, n_in = X_csr.shape
-    T = max(1, _ceil_to(n_out, _LANE) // _LANE)
+    T, _ = _tile_block(n_out)
     Wn = max(1, _ceil_to(n_in, W) // W)
     nnz = X_csr.nnz
 
-    idx = np.zeros((T * Wn * K, _LANE), dtype=np.int16)
-    val = np.zeros((T * Wn * K, _LANE), dtype=np.float32)
+    idx = np.zeros((Wn * T * K, _LANE), dtype=np.int16)
+    val = np.zeros((Wn * T * K, _LANE), dtype=np.float32)
     if nnz == 0:
         return idx, val, None
 
@@ -112,7 +134,7 @@ def pack_winell(X_csr, W, K):
     slot = (pos - start).astype(np.int64)
 
     main = slot < K
-    cell = (tile * Wn + w) * K + slot
+    cell = (w * T + tile) * K + slot
     idx[cell[main], lane[main]] = local[main]
     val[cell[main], lane[main]] = data[main]
 
@@ -124,25 +146,29 @@ def pack_winell(X_csr, W, K):
     return idx, val, spill
 
 
-def _winell_kernel(v_ref, idx_ref, val_ref, out_ref, *, n_reg, square):
+def _winell_kernel(v_ref, idx_ref, val_ref, out_ref, *,
+                   n_reg, K, tiles, square):
     w = pl.program_id(1)
 
     @pl.when(w == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    idx = idx_ref[:].astype(jnp.int32)
-    val = val_ref[:]
-    if square:
-        val = val * val
-    lane = idx & (_LANE - 1)
-    gathered = _gather_lanes(
-        jnp.broadcast_to(v_ref[0, :], idx.shape), lane)
-    for r in range(1, n_reg):
-        g_r = _gather_lanes(
-            jnp.broadcast_to(v_ref[r, :], idx.shape), lane)
-        gathered = jnp.where((idx >> 7) == r, g_r, gathered)
-    out_ref[0, :] += jnp.sum(val * gathered, axis=0)
+    rows = []
+    for tt in range(tiles):
+        idx = idx_ref[tt * K:(tt + 1) * K, :].astype(jnp.int32)
+        val = val_ref[tt * K:(tt + 1) * K, :]
+        if square:
+            val = val * val
+        lane = idx & (_LANE - 1)
+        gathered = _gather_lanes(
+            jnp.broadcast_to(v_ref[0, 0, :], idx.shape), lane)
+        for r in range(1, n_reg):
+            g_r = _gather_lanes(
+                jnp.broadcast_to(v_ref[0, r, :], idx.shape), lane)
+            gathered = jnp.where((idx >> 7) == r, g_r, gathered)
+        rows.append(jnp.sum(val * gathered, axis=0))
+    out_ref[:] += jnp.stack(rows)
 
 
 @functools.partial(
@@ -152,7 +178,7 @@ def winell_matvec(idx, val, v, n_out, W, K, square=False, interpret=False):
 
     Parameters
     ----------
-    idx, val : (T * Wn * K, 128) int16 / float32 from `pack_winell`.
+    idx, val : (Wn * T * K, 128) int16 / float32 from `pack_winell`.
     v : (n_in,) float32 input vector (zero-padded internally).
     n_out : true output length (the padded tail is dropped).
     W, K : the packing plan.
@@ -161,32 +187,35 @@ def winell_matvec(idx, val, v, n_out, W, K, square=False, interpret=False):
     import contextlib
 
     n_reg = W // _LANE
-    T = _ceil_to(n_out, _LANE) // _LANE
+    T, TB = _tile_block(n_out)
     Wn = idx.shape[0] // (T * K)
     dtype = val.dtype
     if not interpret and dtype == jnp.float64:
         raise NotImplementedError(
             "The compiled windowed-ELL kernel is 32-bit (Mosaic TPU has "
             "no 64-bit vectors); build the design with dtype=np.float32.")
-    v2d = jnp.zeros(Wn * W, dtype).at[:v.shape[0]].set(
-        v.astype(dtype)).reshape(Wn * n_reg, _LANE)
+    v3d = jnp.zeros(Wn * W, dtype).at[:v.shape[0]].set(
+        v.astype(dtype)).reshape(Wn, n_reg, _LANE)
     x64_off = jax.enable_x64(False) if not interpret \
         else contextlib.nullcontext()
     with x64_off:
         out = pl.pallas_call(
-            functools.partial(_winell_kernel, n_reg=n_reg, square=square),
-            grid=(T, Wn),
+            functools.partial(_winell_kernel, n_reg=n_reg, K=K,
+                              tiles=TB, square=square),
+            grid=(T // TB, Wn),
             in_specs=[
-                pl.BlockSpec((n_reg, _LANE), lambda t, w: (w, 0),
+                pl.BlockSpec((1, n_reg, _LANE), lambda t, w: (w, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, _LANE), lambda t, w: (t * Wn + w, 0),
+                pl.BlockSpec((TB * K, _LANE),
+                             lambda t, w: (w * (T // TB) + t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, _LANE), lambda t, w: (t * Wn + w, 0),
+                pl.BlockSpec((TB * K, _LANE),
+                             lambda t, w: (w * (T // TB) + t, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, _LANE), lambda t, w: (t, 0),
+            out_specs=pl.BlockSpec((TB, _LANE), lambda t, w: (t, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((T, _LANE), dtype),
             interpret=interpret,
-        )(v2d, idx, val)
+        )(v3d, idx, val)
     return out.reshape(T * _LANE)[:n_out]

@@ -137,6 +137,18 @@ def shard_design(design, mesh, axis_name=SHARD_AXIS, pred_axis=None):
             # are 32x smaller than f32 dense, so the observation axis is
             # the capacity axis that matters at bitpack scale.
             return design.shard_bitpack(mesh, axis_name)
+        if design.backend == 'winell':
+            # The windowed-ELL packings interleave (window, tile, slot)
+            # cells, so a clean observation split needs a re-pack per
+            # shard (the dot packing shards by tile groups, the tdot
+            # packing by window groups). Not implemented yet: keep the
+            # arrays unsharded rather than mis-shard them.
+            warn("shard_design: the 'winell' backend is not sharded yet; "
+                 "its arrays stay on their current devices (replicated "
+                 "under a mesh). Use 'bitpack' (mostly-binary designs) "
+                 "or 'hybrid' for multi-chip scaling.")
+            design.column_offset = _put(design.column_offset, mesh, col)
+            return design
         if design.backend == 'hybrid':
             # Dense blocks shard along observations (and predictors on a
             # 2-d mesh); the X'u / Xv partial products then reduce over

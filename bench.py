@@ -87,6 +87,10 @@ def design_storage_bytes(design):
         arrays = (design.X_exact, design.X_float)
     elif design.backend == 'bitpack':
         arrays = (design.bits_col, design.bits_row, design.X_float)
+    elif design.backend == 'winell':
+        arrays = (design.widx_dot, design.wval_dot, design.widx_tdot,
+                  design.wval_tdot, design.sd_idx, design.sd_val,
+                  design.st_idx, design.st_val)
     else:
         arrays = (design.row_idx, design.row_val,
                   design.col_idx, design.col_val)
