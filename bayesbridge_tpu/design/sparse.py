@@ -206,13 +206,18 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             bitpack_bytes = n * p * binary_frac / 4.0 \
                 + n * p * (1 - binary_frac) * dtype.itemsize
             winell_bytes = winell_mod.estimate_bytes(X.shape, X.nnz)
+            # The windowed-ELL slots only pay off while the expected
+            # entries per (output, window) cell stay under the slot
+            # budget; dense-ish designs would drown in ELL spill.
+            w_est, k_est = winell_mod.plan_windows(p, n, X.nnz)
+            winell_ok = w_est * X.nnz <= 0.75 * k_est * max(1, n * p)
             if hybrid_bytes <= _HYBRID_MAX_BYTES:
                 backend = 'hybrid'
             elif (binary_frac >= _BITPACK_MIN_BINARY_FRAC
                   and bitpack_bytes <= _BITPACK_MAX_BYTES
                   and dtype == np.float32):
                 backend = 'bitpack'
-            elif winell_bytes <= _BITPACK_MAX_BYTES \
+            elif winell_bytes <= _BITPACK_MAX_BYTES and winell_ok \
                     and dtype == np.float32:
                 backend = 'winell'
             elif hybrid_bytes <= ell_bytes:
@@ -225,7 +230,8 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             if backend in ('hybrid', 'ell') and dtype != np.float32 \
                     and min(bitpack_bytes if binary_frac
                             >= _BITPACK_MIN_BINARY_FRAC else np.inf,
-                            winell_bytes) <= _BITPACK_MAX_BYTES:
+                            winell_bytes if winell_ok else np.inf) \
+                    <= _BITPACK_MAX_BYTES:
                 # An x64 session just fell off the fast beyond-HBM path
                 # for dtype reasons alone — say so instead of silently
                 # taking an over-budget or ~60x-slower backend
