@@ -1,12 +1,15 @@
 """Sparse-matvec backend benchmark on the TPU (VERDICT r1 item 2).
 
-Times X @ v and X' @ u for the three SparseDesignMatrix backends at an
+Times X @ v and X' @ u for the SparseDesignMatrix backends at an
 OHDSI-style density on a design whose f32 dense form exceeds the hybrid
 HBM budget, i.e. the regime the reference serves with the MKL CSR matvec
-(reference: bayesbridge/design_matrix/mkl_matvec.py:17-56).
+(reference: bayesbridge/design_matrix/mkl_matvec.py:17-56). Two value
+regimes: all-binary entries (bitpack's domain) and continuous entries
+(winell's domain — VERDICT r2 missing #1: values outside {0,1} at
+n*p > 8 GB).
 
 Usage: python -m baselines.bench_sparse_matvec [--n N] [--p P]
-           [--density D] [--reps R]
+           [--density D] [--reps R] [--values binary|normal|both]
 """
 
 import argparse
@@ -17,7 +20,7 @@ import numpy as np
 import scipy.sparse as sps
 
 
-def build_sparse(n, p, density, seed=0):
+def build_sparse(n, p, density, seed=0, values='binary'):
     rng = np.random.default_rng(seed)
     nnz_per_row = max(1, int(round(density * p)))
     cols = rng.integers(0, p, size=(n, nnz_per_row))
@@ -25,7 +28,11 @@ def build_sparse(n, p, density, seed=0):
     X = sps.csr_matrix(
         (np.ones(n * nnz_per_row), cols.ravel(), indptr), shape=(n, p))
     X.sum_duplicates()
-    X.data[:] = 1.0
+    if values == 'normal':
+        X.data[:] = rng.standard_normal(X.nnz)
+        X.eliminate_zeros()
+    else:
+        X.data[:] = 1.0
     return X
 
 
@@ -70,27 +77,18 @@ def time_backend(X, backend, reps, jax, jnp):
     return result
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument('--n', type=int, default=262144)
-    ap.add_argument('--p', type=int, default=16384)
-    ap.add_argument('--density', type=float, default=0.01)
-    ap.add_argument('--reps', type=int, default=20)
-    ap.add_argument('--ell-reps', type=int, default=3)
-    args = ap.parse_args()
-
-    import jax
-    import jax.numpy as jnp
-
-    X = build_sparse(args.n, args.p, args.density)
+def run_sweep(args, values, jax, jnp):
+    X = build_sparse(args.n, args.p, args.density, values=values)
     nnz = X.nnz
     f32_gb = args.n * args.p * 4 / 1e9
-    print(f"n={args.n} p={args.p} density={args.density} nnz={nnz:.3g} "
+    print(f"\n== values={values} == n={args.n} p={args.p} "
+          f"density={args.density} nnz={nnz:.3g} "
           f"(dense f32 {f32_gb:.1f} GB) backend={jax.default_backend()}")
 
+    fast = 'bitpack' if values == 'binary' else 'winell'
     results = {}
     for backend, reps in [('ell', args.ell_reps),
-                          ('bitpack', args.reps),
+                          (fast, args.reps),
                           ('hybrid', args.reps)]:
         try:
             results[backend] = time_backend(X, backend, reps, jax, jnp)
@@ -98,7 +96,7 @@ def main():
             print(f"{backend}: skipped ({type(e).__name__}: {str(e)[:80]})")
 
     ref = results.get('ell') or next(iter(results.values()))
-    print(f"\n{'backend':>8} {'build_s':>8} {'matvec_ms':>10} "
+    print(f"{'backend':>8} {'build_s':>8} {'matvec_ms':>10} "
           f"{'Gnnz/s':>8} {'Gelem/s':>8} {'vs_ell':>7}")
     for name, r in results.items():
         ms = r['matvec_ms']
@@ -111,6 +109,26 @@ def main():
                 / (np.max(np.abs(ref[key])) + 1e-12)
             if err > 1e-4:
                 print(f"  WARNING {name}.{key} relerr {err:.2e} vs ell")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--n', type=int, default=262144)
+    ap.add_argument('--p', type=int, default=16384)
+    ap.add_argument('--density', type=float, default=0.01)
+    ap.add_argument('--reps', type=int, default=20)
+    ap.add_argument('--ell-reps', type=int, default=3)
+    ap.add_argument('--values', default='both',
+                    choices=['binary', 'normal', 'both'])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    sweeps = ['binary', 'normal'] if args.values == 'both' \
+        else [args.values]
+    for values in sweeps:
+        run_sweep(args, values, jax, jnp)
 
 
 if __name__ == '__main__':

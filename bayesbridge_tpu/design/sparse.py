@@ -509,73 +509,106 @@ class SparseDesignMatrix(AbstractDesignMatrix):
     def _bitpack_dot_bin(self, v_bin):
         """Binary-column part of X @ v via the byte-LUT Pallas kernel.
         On a mesh (`shard_bitpack`), each device runs the kernel on its
-        row shard of the column-packed bitmap — X v is embarrassingly
-        row-local."""
+        shard of the column-packed bitmap — X v is row-local over the
+        observation axis; with a predictor axis, each column shard
+        builds its LUT from its own slice of v and the partial outputs
+        psum over the predictor axis (ICI)."""
         p_bin, gcol_pad, n_pad, k_dot, *_, interpret = self._bitpack_meta
         v_pad = jnp.zeros(8 * gcol_pad, v_bin.dtype).at[:p_bin].set(v_bin)
         if self._bitpack_shard is None:
             return bitlut.bitpacked_matvec(
                 self.bits_col, v_pad, self._shape_main[0], k_dot,
                 interpret=interpret)
-        mesh, ax = self._bitpack_shard
+        mesh, ax, pax = self._bitpack_shard
         from jax.sharding import PartitionSpec as P
-        f = jax.shard_map(
-            lambda bits, v: bitlut.bitpacked_matvec(
-                bits, v, bits.shape[1], k_dot, interpret=interpret),
-            mesh=mesh, in_specs=(P(None, ax), P()), out_specs=P(ax),
-            check_vma=False)
+        if pax is None:
+            f = jax.shard_map(
+                lambda bits, v: bitlut.bitpacked_matvec(
+                    bits, v, bits.shape[1], k_dot, interpret=interpret),
+                mesh=mesh, in_specs=(P(None, ax), P()), out_specs=P(ax),
+                check_vma=False)
+        else:
+            f = jax.shard_map(
+                lambda bits, v: jax.lax.psum(
+                    bitlut.bitpacked_matvec(bits, v, bits.shape[1],
+                                            k_dot, interpret=interpret),
+                    pax),
+                mesh=mesh, in_specs=(P(pax, ax), P(pax)),
+                out_specs=P(ax), check_vma=False)
         return f(self.bits_col, v_pad)[:self._shape_main[0]]
 
     def _bitpack_tdot_bin(self, u):
         """Binary-column part of X' @ u via the same kernel on the
         row-packed bitmap. On a mesh, each device reduces its row
-        shard's partial X' u and the partials are psum-ed over ICI."""
-        (p_bin, _, _, _, grow_pad, _, k_tdot,
+        shard's partial X' u and the partials are psum-ed over ICI;
+        with a predictor axis, each column shard emits its own slice
+        of the output (no reduction over that axis)."""
+        (p_bin, _, _, _, grow_pad, pbin_pad, k_tdot,
          interpret) = self._bitpack_meta
         u_pad = jnp.zeros(8 * grow_pad, u.dtype).at[:u.shape[0]].set(u)
         if self._bitpack_shard is None:
             return bitlut.bitpacked_matvec(
                 self.bits_row, u_pad, p_bin, k_tdot, interpret=interpret)
-        mesh, ax = self._bitpack_shard
+        mesh, ax, pax = self._bitpack_shard
         from jax.sharding import PartitionSpec as P
+        if pax is None:
+            f = jax.shard_map(
+                lambda bits, u_loc: jax.lax.psum(
+                    bitlut.bitpacked_matvec(bits, u_loc, p_bin, k_tdot,
+                                            interpret=interpret), ax),
+                mesh=mesh, in_specs=(P(ax, None), P(ax)), out_specs=P(),
+                check_vma=False)
+            return f(self.bits_row, u_pad)
         f = jax.shard_map(
             lambda bits, u_loc: jax.lax.psum(
-                bitlut.bitpacked_matvec(bits, u_loc, p_bin, k_tdot,
-                                        interpret=interpret), ax),
-            mesh=mesh, in_specs=(P(ax, None), P(ax)), out_specs=P(),
+                bitlut.bitpacked_matvec(bits, u_loc, bits.shape[1],
+                                        k_tdot, interpret=interpret), ax),
+            mesh=mesh, in_specs=(P(ax, pax), P(ax)), out_specs=P(pax),
             check_vma=False)
-        return f(self.bits_row, u_pad)
+        return f(self.bits_row, u_pad)[:p_bin]
 
-    def shard_bitpack(self, mesh, axis_name):
-        """Shard the dual bitmaps over `mesh[axis_name]` along the
-        OBSERVATION axis (bits_col by its output/lane axis, bits_row by
-        its input/byte-group axis), re-padding so every device holds
-        whole kernel blocks. X_float rows shard along the same axis;
-        the p-length state stays replicated. Returns self."""
+    def shard_bitpack(self, mesh, axis_name, pred_axis=None):
+        """Shard the dual bitmaps over the mesh, re-padding so every
+        device holds whole kernel blocks.
+
+        1-d (`pred_axis=None`): the OBSERVATION axis is sharded —
+        bits_col by its output/lane axis, bits_row by its input
+        byte-group axis. 2-d: the packed-predictor axis additionally
+        shards over `mesh[pred_axis]` — bits_col by byte-groups (each
+        shard LUTs its slice of v; X v partials psum over predictors)
+        and bits_row by output lanes (each shard owns a slice of X' u).
+        X_float rows shard along the observation axis; the p-length
+        state stays replicated. Returns self."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         if self.backend != 'bitpack':
             raise ValueError("shard_bitpack requires the bitpack backend")
         n_dev = mesh.shape[axis_name]
+        n_pshard = mesh.shape[pred_axis] if pred_axis else 1
         (p_bin, gcol_pad, n_pad, k_dot, grow_pad, pbin_pad, k_tdot,
          interpret) = self._bitpack_meta
         n_pad2 = -(-n_pad // (n_dev * k_dot * 128)) * (n_dev * k_dot * 128)
         grow_pad2 = -(-grow_pad // (n_dev * 32)) * (n_dev * 32)
+        # Per-predictor-shard byte-group counts must stay kernel-legal
+        # (multiples of 8; 32 keeps the wide block height).
+        gcol_pad2 = -(-gcol_pad // (n_pshard * 8)) * (n_pshard * 8)
+        pbin_pad2 = -(-pbin_pad // (n_pshard * k_tdot * 128)) \
+            * (n_pshard * k_tdot * 128)
         self.bits_col = jnp.asarray(bitlut.pad_packed(
-            np.asarray(self.bits_col), gcol_pad, n_pad2))
+            np.asarray(self.bits_col), gcol_pad2, n_pad2))
         self.bits_row = jnp.asarray(bitlut.pad_packed(
-            np.asarray(self.bits_row), grow_pad2, pbin_pad))
-        self._bitpack_meta = (p_bin, gcol_pad, n_pad2, k_dot,
-                              grow_pad2, pbin_pad, k_tdot, interpret)
+            np.asarray(self.bits_row), grow_pad2, pbin_pad2))
+        self._bitpack_meta = (p_bin, gcol_pad2, n_pad2, k_dot,
+                              grow_pad2, pbin_pad2, k_tdot, interpret)
         put = lambda x, spec: jax.device_put(
             x, NamedSharding(mesh, spec))
-        self.bits_col = put(self.bits_col, P(None, axis_name))
-        self.bits_row = put(self.bits_row, P(axis_name, None))
+        self.bits_col = put(self.bits_col, P(pred_axis, axis_name))
+        self.bits_row = put(self.bits_row, P(axis_name, pred_axis))
         if self.X_float.size:
             row_spec = P(axis_name, None) \
                 if self.X_float.shape[0] % n_dev == 0 else P()
             self.X_float = put(self.X_float, row_spec)
         self.column_offset = put(self.column_offset, P())
-        self._bitpack_shard = (mesh, axis_name)
+        self._bitpack_shard = (mesh, axis_name, pred_axis)
         return self
 
     def main_dot(self, v_main):

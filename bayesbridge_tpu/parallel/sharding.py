@@ -133,10 +133,12 @@ def shard_design(design, mesh, axis_name=SHARD_AXIS, pred_axis=None):
         if design.backend == 'bitpack':
             # Dual bitmaps shard along observations via shard_map (the
             # Pallas kernel runs per device shard; X'u partials psum
-            # over ICI). The predictor axis stays unsharded: the bitmaps
-            # are 32x smaller than f32 dense, so the observation axis is
-            # the capacity axis that matters at bitpack scale.
-            return design.shard_bitpack(mesh, axis_name)
+            # over ICI); on a 2-d mesh the packed-predictor axis
+            # additionally shards over `pred_axis` (bits_col by
+            # byte-groups with per-shard LUTs, bits_row by output
+            # lanes).
+            return design.shard_bitpack(mesh, axis_name,
+                                        pred_axis=pred_axis)
         if design.backend == 'winell':
             # The windowed-ELL packings interleave (window, tile, slot)
             # cells, so a clean observation split needs a re-pack per

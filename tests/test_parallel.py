@@ -198,6 +198,45 @@ def test_sharded_full_chain_runs():
 
 @pytest.mark.skipif(len(jax.devices()) < N_DEV,
                     reason="needs the 8-device CPU mesh")
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_bitpack_2d_pred_axis_sharding(mesh_shape):
+    """2-d (obs x pred) sharding of the dual bitmaps (SURVEY §5.7 /
+    VERDICT r2 item 7): per-shard LUTs over the predictor byte-groups
+    must reproduce the unsharded products and Gibbs step."""
+    from bayesbridge_tpu.parallel import PRED_AXIS
+    model, cfg, carry = _build(n_obs=96, n_pred=40, backend='bitpack')
+    design = model.design
+    rng = np.random.default_rng(6)
+    v = jnp.asarray(rng.standard_normal(design.shape[1]))
+    u = jnp.asarray(rng.standard_normal(design.shape[0]))
+    w = jnp.asarray(rng.random(design.shape[0]) + .5)
+    ref_dot = np.asarray(design.dot(v))
+    ref_tdot = np.asarray(design.Tdot(u))
+    ref_diag = np.asarray(design.compute_fisher_diag(w))
+    step = jax.jit(lambda m, c: step_mod.gibbs_step(cfg, m, c))
+    ref_carry, ref_out = step(model, carry)
+
+    mesh = make_mesh(mesh_shape)
+    shard_model(model, mesh, pred_axis=PRED_AXIS)
+    assert design._bitpack_shard[2] == PRED_AXIS
+    assert len(design.bits_col.sharding.device_set) == N_DEV
+
+    np.testing.assert_allclose(np.asarray(design.dot(v)), ref_dot,
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(design.Tdot(u)), ref_tdot,
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(design.compute_fisher_diag(w)),
+                               ref_diag, rtol=1e-8, atol=1e-10)
+    sh_carry, sh_out = step(model, carry)
+    np.testing.assert_allclose(
+        np.asarray(ref_out['coef']), np.asarray(sh_out['coef']),
+        rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        float(ref_out['logp']), float(sh_out['logp']), rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < N_DEV,
+                    reason="needs the 8-device CPU mesh")
 def test_bitpack_backend_shards_over_mesh():
     """The bitpacked bitmaps shard along observations via shard_map and
     must reproduce the unsharded products and Gibbs step."""
