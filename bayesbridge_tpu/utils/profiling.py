@@ -51,3 +51,59 @@ def trace(log_dir, host_tracer_level=2, python_tracer_level=0):
 def annotate(name):
     """Context manager naming a region on the profiler timeline."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def op_stats_from_trace(log_dir, device_only=True):
+    """Parse a :func:`trace` capture into per-op timing rows.
+
+    Reads the xplane protobufs under `log_dir` through the xprof
+    converter (the TensorBoard profile plugin's own parser) and returns
+    a list of dicts, one per profiled op::
+
+        {'device': bool, 'type': 'fusion', 'name': '%fusion.3', ...,
+         'occurrences': 12, 'total_us': 340.2, 'self_us': 340.2,
+         'flop_rate_gflops': 1.2, 'memory_bw_gbps': 640.1,
+         'bound_by': 'Memory'}
+
+    On TPU runs the rows carry measured per-op memory bandwidth and
+    boundedness, grounding roofline claims in device counters rather
+    than byte models (bench.py uses this for its `measured` report).
+    """
+    import glob
+    import json
+    import os
+
+    from xprof.convert import raw_to_tool_data as rtd
+
+    paths = sorted(glob.glob(os.path.join(log_dir, '**', '*.xplane.pb'),
+                             recursive=True))
+    if not paths:
+        raise FileNotFoundError(f'no *.xplane.pb under {log_dir}')
+    data, _ = rtd.xspace_to_tool_data(paths, 'framework_op_stats', {})
+    tables = json.loads(data if isinstance(data, str) else data.decode())
+    table = tables[0] if isinstance(tables, list) else tables
+    idx = {c['label']: i for i, c in enumerate(table['cols'])}
+
+    def cell(row, label):
+        return row['c'][idx[label]].get('v')
+
+    rows = []
+    for row in table.get('rows', []):
+        on_device = cell(row, 'Host/device') == 'Device'
+        if device_only and not on_device:
+            continue
+        rows.append({
+            'device': on_device,
+            'type': cell(row, 'Operation Type'),
+            'name': cell(row, 'Operation Name'),
+            'occurrences': int(cell(row, '#Occurrences') or 0),
+            'total_us': float(cell(row, 'Total time (us)') or 0.0),
+            'self_us': float(cell(row, 'Total self-time (us)') or 0.0),
+            'flop_rate_gflops':
+                float(cell(row, 'Model FLOP Rate (GFLOP/s)') or 0.0),
+            'memory_bw_gbps':
+                float(cell(row, 'Measured Memory BW (GBytes/Sec)')
+                      or 0.0),
+            'bound_by': cell(row, 'Bound by'),
+        })
+    return rows

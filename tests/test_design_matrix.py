@@ -224,3 +224,9 @@ def test_profiling_trace_writes_artifacts(tmp_path):
             jax.block_until_ready(jnp.ones((32, 32)) @ jnp.ones((32, 32)))
     found = [f for d, _, fs in os.walk(tmp_path) for f in fs]
     assert found, "no trace artifacts written"
+
+    # The xplane parser (bench.py's measured-roofline input) must read
+    # the capture back; on CPU there are host rows only.
+    from bayesbridge_tpu.utils.profiling import op_stats_from_trace
+    rows = op_stats_from_trace(str(tmp_path), device_only=False)
+    assert rows and all('self_us' in r for r in rows)
