@@ -154,21 +154,21 @@ def _winell_kernel(v_ref, idx_ref, val_ref, out_ref, *,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    rows = []
-    for tt in range(tiles):
-        idx = idx_ref[tt * K:(tt + 1) * K, :].astype(jnp.int32)
-        val = val_ref[tt * K:(tt + 1) * K, :]
-        if square:
-            val = val * val
-        lane = idx & (_LANE - 1)
-        gathered = _gather_lanes(
-            jnp.broadcast_to(v_ref[0, 0, :], idx.shape), lane)
-        for r in range(1, n_reg):
-            g_r = _gather_lanes(
-                jnp.broadcast_to(v_ref[0, r, :], idx.shape), lane)
-            gathered = jnp.where((idx >> 7) == r, g_r, gathered)
-        rows.append(jnp.sum(val * gathered, axis=0))
-    out_ref[:] += jnp.stack(rows)
+    # One gather pass over the whole (tiles*K, 128) block per window
+    # register, then a grouped sublane reduction into the tile rows.
+    idx = idx_ref[:].astype(jnp.int32)
+    val = val_ref[:]
+    if square:
+        val = val * val
+    lane = idx & (_LANE - 1)
+    gathered = _gather_lanes(
+        jnp.broadcast_to(v_ref[0, 0, :], idx.shape), lane)
+    for r in range(1, n_reg):
+        g_r = _gather_lanes(
+            jnp.broadcast_to(v_ref[0, r, :], idx.shape), lane)
+        gathered = jnp.where((idx >> 7) == r, g_r, gathered)
+    prod = val * gathered
+    out_ref[:] += jnp.sum(prod.reshape(tiles, K, _LANE), axis=1)
 
 
 @functools.partial(
