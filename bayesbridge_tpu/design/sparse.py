@@ -146,6 +146,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
              self.exact_is_binary, self._bitpack_meta,
              self._winell_meta) = _parts[0]
             self._bitpack_shard = None
+            self._winell_shard = None
             arrays = _parts[1]
             if self.backend == 'hybrid':
                 (self.X_exact, self.X_float, self.exact_cols,
@@ -246,6 +247,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         self._bitpack_meta = None
         self._bitpack_shard = None
         self._winell_meta = None
+        self._winell_shard = None
 
         if X_csc is None and backend in ('hybrid', 'bitpack'):
             X_csc = X.tocsc()
@@ -375,6 +377,9 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         self.wval_dot = jnp.asarray(val_d)
         self.widx_tdot = jnp.asarray(idx_t)
         self.wval_tdot = jnp.asarray(val_t)
+        # Host-side CSR retained for shard_winell's per-device re-pack;
+        # excluded from the pytree (host memory only).
+        self._csr_host = X
 
         def ell_or_empty(spill):
             if spill is None:
@@ -389,6 +394,8 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         self.st_idx, self.st_val = ell_or_empty(spill_t)
 
     def _winell_dot_main(self, v_main):
+        if self._winell_shard is not None:
+            return self._winell_dot_sharded(v_main)
         (w_dot, k_dot, *_, has_sd, _unused, interpret) = self._winell_meta
         n = self._shape_main[0]
         r = winell_mod.winell_matvec(
@@ -401,6 +408,8 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         return r
 
     def _winell_tdot_main(self, u, power=1):
+        if self._winell_shard is not None:
+            return self._winell_tdot_sharded(u, power=power)
         (_, _, w_tdot, k_tdot, _unused, has_st,
          interpret) = self._winell_meta
         p_main = self._shape_main[1]
@@ -413,6 +422,138 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 val * jnp.take(u.astype(self.st_val.dtype),
                                self.st_idx, axis=0), axis=1)
         return r
+
+    def _winell_dot_sharded(self, v_main):
+        """X v over the observation mesh: each device runs the kernel
+        on its privately-packed row block — row-local, no collective."""
+        from jax.sharding import PartitionSpec as P
+        (mesh, ax, w_dot, k_dot, _wt, _kt, n_loc,
+         interpret) = self._winell_shard
+        n = self._shape_main[0]
+
+        def local(idx, val, sdi, sdv, v):
+            r = winell_mod.winell_matvec(
+                idx[0], val[0], v, n_loc, w_dot, k_dot,
+                interpret=interpret)
+            return r + jnp.sum(
+                sdv[0] * jnp.take(v, sdi[0], axis=0), axis=1)
+
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(ax), P()),
+            out_specs=P(ax), check_vma=False)
+        return f(self.widx_dot, self.wval_dot, self.sd_idx, self.sd_val,
+                 v_main.astype(self.wval_dot.dtype))[:n]
+
+    def _winell_tdot_sharded(self, u, power=1):
+        """X' u over the observation mesh: per-block partial products
+        reduced with a psum (lowers to ICI collectives on a pod)."""
+        from jax.sharding import PartitionSpec as P
+        (mesh, ax, _wd, _kd, w_tdot, k_tdot, n_loc,
+         interpret) = self._winell_shard
+        p_main = self._shape_main[1]
+        n_dev = mesh.shape[ax]
+        u_pad = jnp.zeros(n_dev * n_loc, self.wval_tdot.dtype).at[
+            :u.shape[0]].set(u.astype(self.wval_tdot.dtype))
+
+        def local(idx, val, sti, stv, u_loc):
+            r = winell_mod.winell_matvec(
+                idx[0], val[0], u_loc, p_main, w_tdot, k_tdot,
+                square=(power == 2), interpret=interpret)
+            sv = stv[0] * stv[0] if power == 2 else stv[0]
+            r = r + jnp.sum(sv * jnp.take(u_loc, sti[0], axis=0), axis=1)
+            return jax.lax.psum(r, ax)
+
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
+            out_specs=P(), check_vma=False)
+        return f(self.widx_tdot, self.wval_tdot, self.st_idx,
+                 self.st_val, u_pad)
+
+    def shard_winell(self, mesh, axis_name):
+        """Shard the windowed-ELL backend along the observation axis.
+
+        The packed (window, tile, slot) cells interleave observations,
+        so instead of slicing the packed arrays each device re-packs its
+        own contiguous block of observation rows (and that block's
+        transpose) into private windowed-ELL arrays, stacked along a
+        leading device axis. ``X v`` then runs the kernel on the local
+        block with no communication; ``X' u`` partial products psum over
+        ICI. Storage is nnz-proportional, so the observation axis is the
+        memory scaler; a 2-d mesh's predictor axis is not used. Must be
+        called on the construction-time object (the host CSR is retained
+        there for the re-pack). Returns self.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.backend != 'winell':
+            raise ValueError("shard_winell requires the winell backend")
+        X = getattr(self, '_csr_host', None)
+        if X is None:
+            raise ValueError(
+                "shard_winell needs the construction-time CSR, which is "
+                "not carried through jit flattening; shard the design "
+                "before handing it to jitted code.")
+        n_dev = mesh.shape[axis_name]
+        n, p = X.shape
+        n_loc = -(-n // n_dev)
+        nnz_loc = max(1, X.nnz // n_dev)
+        # One shared packing plan keeps per-device shapes uniform.
+        w_dot, k_dot = winell_mod.plan_windows(p, n_loc, nnz_loc)
+        w_tdot, k_tdot = winell_mod.plan_windows(n_loc, p, nnz_loc)
+
+        def spill_ell(spill, n_rows):
+            if spill is None:
+                return (np.zeros((n_rows, 1), np.int32),
+                        np.zeros((n_rows, 1), np.float32))
+            i, v = csr_to_ell(spill.indptr, spill.indices,
+                              spill.data.astype(np.float32),
+                              spill.shape[1])
+            return i, v
+
+        def pad_stack(pairs):
+            width = max(i.shape[1] for i, _ in pairs)
+            return (
+                np.stack([np.pad(i, ((0, 0), (0, width - i.shape[1])))
+                          for i, _ in pairs]),
+                np.stack([np.pad(v, ((0, 0), (0, width - v.shape[1])))
+                          for _, v in pairs]))
+
+        idx_d, val_d, idx_t, val_t, sd, st = [], [], [], [], [], []
+        for d in range(n_dev):
+            Xd = X[d * n_loc:min((d + 1) * n_loc, n)]
+            if Xd.shape[0] < n_loc:
+                Xd = sps.vstack(
+                    [Xd, sps.csr_matrix((n_loc - Xd.shape[0], p),
+                                        dtype=Xd.dtype)]).tocsr()
+            Xd.sort_indices()
+            i, v, s = winell_mod.pack_winell(Xd, w_dot, k_dot)
+            idx_d.append(i)
+            val_d.append(v)
+            sd.append(spill_ell(s, n_loc))
+            Xt = Xd.T.tocsr()
+            Xt.sort_indices()
+            i, v, s = winell_mod.pack_winell(Xt, w_tdot, k_tdot)
+            idx_t.append(i)
+            val_t.append(v)
+            st.append(spill_ell(s, p))
+
+        put = lambda x, spec: jax.device_put(
+            jnp.asarray(x), NamedSharding(mesh, spec))
+        dev3 = P(axis_name, None, None)
+        self.widx_dot = put(np.stack(idx_d), dev3)
+        self.wval_dot = put(np.stack(val_d), dev3)
+        self.widx_tdot = put(np.stack(idx_t), dev3)
+        self.wval_tdot = put(np.stack(val_t), dev3)
+        si, sv = pad_stack(sd)
+        self.sd_idx, self.sd_val = put(si, dev3), put(sv, dev3)
+        si, sv = pad_stack(st)
+        self.st_idx, self.st_val = put(si, dev3), put(sv, dev3)
+        self.column_offset = put(self.column_offset, P())
+        interpret = self._winell_meta[-1]
+        self._winell_shard = (mesh, axis_name, w_dot, k_dot,
+                              w_tdot, k_tdot, n_loc, interpret)
+        return self
 
     def _build_ell(self, X, dtype):
         self.exact_is_binary = False
@@ -444,18 +585,20 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                getattr(self, 'exact_is_binary', False),
                getattr(self, '_bitpack_meta', None),
                getattr(self, '_winell_meta', None),
-               getattr(self, '_bitpack_shard', None))
+               getattr(self, '_bitpack_shard', None),
+               getattr(self, '_winell_shard', None))
         return arrays, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (intercept_added, centered, backend, shape_main, nnz, binary,
-         bitpack_meta, winell_meta, bitpack_shard) = aux
+         bitpack_meta, winell_meta, bitpack_shard, winell_shard) = aux
         obj = cls(None, center_predictor=centered,
                   add_intercept=intercept_added,
                   _parts=((backend, shape_main, nnz, binary,
                            bitpack_meta, winell_meta), children))
         obj._bitpack_shard = bitpack_shard
+        obj._winell_shard = winell_shard
         return obj
 
     # -- shape / metadata ------------------------------------------------ #
@@ -817,6 +960,10 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 X = X.at[:, self.float_cols].set(self.X_float.astype(dtype))
             return X
         if self.backend == 'winell':
+            if self._winell_shard is not None:
+                # Sharded layouts carry a leading device axis; densify
+                # from the retained construction-time CSR instead.
+                return jnp.asarray(self._csr_host.toarray(), dtype)
             w_dot, k_dot = self._winell_meta[:2]
             has_sd = self._winell_meta[4]
             T = winell_mod._tile_block(n)[0]

@@ -141,16 +141,17 @@ def shard_design(design, mesh, axis_name=SHARD_AXIS, pred_axis=None):
                                         pred_axis=pred_axis)
         if design.backend == 'winell':
             # The windowed-ELL packings interleave (window, tile, slot)
-            # cells, so a clean observation split needs a re-pack per
-            # shard (the dot packing shards by tile groups, the tdot
-            # packing by window groups). Not implemented yet: keep the
-            # arrays unsharded rather than mis-shard them.
-            warn("shard_design: the 'winell' backend is not sharded yet; "
-                 "its arrays stay on their current devices (replicated "
-                 "under a mesh). Use 'bitpack' (mostly-binary designs) "
-                 "or 'hybrid' for multi-chip scaling.")
-            design.column_offset = _put(design.column_offset, mesh, col)
-            return design
+            # cells, so each device re-packs its contiguous observation
+            # block (and that block's transpose) into private packings
+            # (shard_winell): X v runs the kernel row-locally, X' u
+            # partials psum over ICI. Storage is nnz-proportional, so
+            # the observation axis is the memory scaler; a 2-d mesh's
+            # predictor axis is unused for this backend.
+            if pred_axis:
+                warn("shard_design: the 'winell' backend shards along "
+                     "the observation axis only; the predictor mesh "
+                     "axis replicates its arrays.")
+            return design.shard_winell(mesh, axis_name)
         if design.backend == 'hybrid':
             # Dense blocks shard along observations (and predictors on a
             # 2-d mesh); the X'u / Xv partial products then reduce over

@@ -267,3 +267,72 @@ def test_bitpack_backend_shards_over_mesh():
         rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(
         float(ref_out['logp']), float(sh_out['logp']), rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < N_DEV,
+                    reason="needs the 8-device CPU mesh")
+@pytest.mark.parametrize("n_obs", [64, 100])  # 100: uneven row blocks
+def test_winell_backend_shards_over_mesh(n_obs):
+    """The windowed-ELL backend re-packs per-device observation blocks
+    under shard_map and must reproduce the unsharded products, Fisher
+    diagonal, and Gibbs step (even when n_obs does not divide the mesh)."""
+    import scipy.sparse as sps
+    from bayesbridge_tpu.design import SparseDesignMatrix
+
+    n_pred = 24
+    rng = np.random.default_rng(5)
+    dense = ((rng.random((n_obs, n_pred)) < 0.15)
+             * rng.poisson(3.0, (n_obs, n_pred))).astype(np.float64)
+    dense[:, 0] += 1.0  # keep every column informative
+    X = sps.csr_matrix(dense)
+    beta = np.zeros(n_pred)
+    beta[:3] = .5
+    outcome = simulate_outcome(X, beta, 'logit', seed=1)
+    model = RegressionModel(outcome, X, family='logit')
+    model.design = SparseDesignMatrix(
+        X, add_intercept=True, center_predictor=True,
+        backend='winell', dtype=np.float32)
+    prior = RegressionCoefPrior(bridge_exponent=.5,
+                                regularizing_slab_size=2.)
+    options = SamplerOptions('cg')
+    cfg = step_mod.GibbsStepConfig(
+        model, prior, options, 1, np.array([np.inf]), jnp.float64)
+    carry = step_mod.init_carry(
+        cfg, jax.random.key(0),
+        coef=np.zeros(model.n_pred),
+        obs_prec=np.full(model.n_obs, .25),
+        gscale=.1, lscale=np.ones(model.n_pred - 1))
+
+    design = model.design
+    v = jnp.asarray(rng.standard_normal(design.shape[1]),
+                    dtype=jnp.float32)
+    u = jnp.asarray(rng.standard_normal(design.shape[0]),
+                    dtype=jnp.float32)
+    w = jnp.asarray(rng.random(design.shape[0]), dtype=jnp.float32)
+    ref_dot = np.asarray(design.dot(v))
+    ref_tdot = np.asarray(design.Tdot(u))
+    ref_fdiag = np.asarray(design.compute_fisher_diag(w))
+
+    step = jax.jit(lambda m, c: step_mod.gibbs_step(cfg, m, c))
+    ref_carry, ref_out = step(model, carry)
+
+    mesh = make_mesh(N_DEV)
+    shard_model(model, mesh)
+    assert model.design._winell_shard is not None
+    assert len(model.design.widx_dot.sharding.device_set) == N_DEV
+    assert model.design.widx_dot.ndim == 3
+
+    np.testing.assert_allclose(np.asarray(model.design.dot(v)), ref_dot,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(model.design.Tdot(u)),
+                               ref_tdot, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(model.design.compute_fisher_diag(w)), ref_fdiag,
+        rtol=1e-5, atol=1e-6)
+
+    sh_carry, sh_out = step(model, carry)
+    np.testing.assert_allclose(
+        np.asarray(ref_out['coef']), np.asarray(sh_out['coef']),
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        float(ref_out['logp']), float(sh_out['logp']), rtol=1e-5)
