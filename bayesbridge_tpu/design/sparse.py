@@ -229,6 +229,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             else:
                 backend = 'ell'
             if backend in ('hybrid', 'ell') and dtype != np.float32 \
+                    and hybrid_bytes > _HYBRID_MAX_BYTES \
                     and min(bitpack_bytes if binary_frac
                             >= _BITPACK_MIN_BINARY_FRAC else np.inf,
                             winell_bytes if winell_ok else np.inf) \
