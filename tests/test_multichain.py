@@ -153,8 +153,11 @@ def test_multichain_resume_equals_uninterrupted():
 
 def test_rhat_and_pooled_ess():
     bridge = _make_bridge()
+    # 72 draws x 4 chains keeps the split-rhat / pooled-ESS assertions
+    # away from their loose thresholds while halving this test's share
+    # of the fast-suite wall time on single-core hosts.
     samples, _ = gibbs_chains(
-        bridge, 120, 4, n_burnin=40, seed=2, coef_sampler_type='cg',
+        bridge, 72, 4, n_burnin=24, seed=2, coef_sampler_type='cg',
         params_to_save=('coef', 'logp'))
     rhat = compute_split_rhat(samples['coef'])
     assert rhat.shape == (bridge.n_pred,)
