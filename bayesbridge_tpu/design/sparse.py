@@ -10,11 +10,13 @@ hardware is actually fast at. Two interchangeable backends:
     bandwidth-optimal layout is DENSE, split by column representability:
 
       * exactly-representable columns form ONE narrow block whose dtype
-        is chosen by total HBM bytes: int8 when small-integer columns
-        (binary 0/1 indicators, dummy-coded categoricals, counts ≤ 127)
-        dominate — a quarter of the f32 traffic, zero rounding, with the
-        int8→bf16 up-convert fused into the MXU matmul — otherwise bf16
-        over the bf16-exact column set (half the f32 traffic);
+        is chosen by total HBM bytes: int4 (packed s4, 0.5 B/elem —
+        an eighth of the f32 traffic) when values fit [-8, 7] (binary
+        0/1 indicators, dummy-coded categoricals), int8 for wider
+        integer columns (counts ≤ 127), else bf16 over the bf16-exact
+        column set (half the f32 traffic). Zero rounding in every case:
+        the narrow→bf16 up-convert is fused into the MXU matmul so HBM
+        traffic stays at the stored width;
       * all remaining columns stay in the working dtype.
 
     Both ``X v`` and ``X' u`` are then single MXU matmuls over the same
@@ -124,6 +126,18 @@ def _int8_exact_columns(X_csc):
     return _exact_column_mask(X_csc, ok)
 
 
+def _int4_exact_columns(X_csc):
+    """Boolean mask of columns whose values are integers in [-8, 7]
+    (exactly representable in int4; 0/1 dummy-coded columns — the bulk
+    of a typical EHR design — qualify). XLA packs s4 two-per-byte in
+    device memory, so these columns move half the HBM bytes of int8."""
+    if X_csc.nnz == 0:
+        return np.ones(X_csc.shape[1], dtype=bool)
+    data = X_csc.data
+    ok = (data == np.round(data)) & (data >= -8) & (data <= 7)
+    return _exact_column_mask(X_csc, ok)
+
+
 def _binary_column_mask(X_csc):
     """Columns whose stored entries are all exactly 1 (0/1-valued)."""
     if X_csc.nnz == 0:
@@ -192,12 +206,16 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             binary_frac = float(np.mean(_binary_column_mask(X_csc))) \
                 if p else 1.0
             if dtype == np.float32:
-                # Mirror _build_hybrid's storage choice: int8 (1 B) for
-                # small-integer columns vs bf16 (2 B) for the bf16-exact
-                # set, whichever moves fewer bytes.
+                # Mirror _build_hybrid's storage choice: int4 (0.5 B,
+                # packed s4) / int8 (1 B) for small-integer columns vs
+                # bf16 (2 B) for the bf16-exact set, whichever moves
+                # fewer bytes.
+                int4_frac = float(np.mean(_int4_exact_columns(X_csc))) \
+                    if p else 1.0
                 int8_frac = float(np.mean(_int8_exact_columns(X_csc))) \
                     if p else 1.0
                 per_elem = min(
+                    int4_frac * 0.5 + (1 - int4_frac) * 4,
                     int8_frac * 1 + (1 - int8_frac) * 4,
                     exact_frac * 2 + (1 - exact_frac) * 4)
             else:
@@ -276,25 +294,45 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         # float64 keep every column in the working dtype (exact).
         if dtype == np.float32:
             # Pick whichever exact representation moves fewer HBM bytes:
-            # int8 (1 B/elem) for small-integer columns vs bf16
-            # (2 B/elem) for the usually-larger bf16-exact column set.
+            # int4 (0.5 B/elem, packed two-per-byte on TPU) for
+            # small-integer columns, int8 (1 B/elem) for the wider
+            # integer set, bf16 (2 B/elem) for the usually-larger
+            # bf16-exact column set. The convert into the MXU operand
+            # dtype fuses into the consuming matmul either way.
+            int4_mask = _int4_exact_columns(X_csc)
             int8_mask = _int8_exact_columns(X_csc)
             bf16_mask = _bf16_exact_columns(X_csc)
+            n_int4 = int4_mask.sum()
             n_int8, n_bf16 = int8_mask.sum(), bf16_mask.sum()
             p = X_csc.shape[1]
-            if 1 * n_int8 + 4 * (p - n_int8) <= 2 * n_bf16 + 4 * (p - n_bf16):
+            costs = {
+                'int4': 0.5 * n_int4 + 4 * (p - n_int4),
+                'int8': 1 * n_int8 + 4 * (p - n_int8),
+                'bf16': 2 * n_bf16 + 4 * (p - n_bf16),
+            }
+            pick = min(costs, key=costs.get)
+            if pick == 'int4':
+                # Densify through int8 (NumPy has no 4-bit layout); the
+                # device array is the packed s4 form.
+                exact_mask, exact_dtype = int4_mask, np.dtype(np.int8)
+            elif pick == 'int8':
                 exact_mask, exact_dtype = int8_mask, np.dtype(np.int8)
             else:
+                pick = 'bf16'
                 exact_mask = bf16_mask
                 exact_dtype = np.dtype(ml_dtypes.bfloat16)
         else:
+            pick = None
             exact_mask, exact_dtype = _bf16_exact_columns(X_csc), dtype
         exact_cols = np.where(exact_mask)[0]
         float_cols = np.where(~exact_mask)[0]
         self.exact_cols = jnp.asarray(exact_cols, jnp.int32)
         self.float_cols = jnp.asarray(float_cols, jnp.int32)
-        self.X_exact = jnp.asarray(
-            _densify_columns(X_csc, exact_cols, exact_dtype))
+        X_exact_host = _densify_columns(X_csc, exact_cols, exact_dtype)
+        if pick == 'int4':
+            self.X_exact = jnp.asarray(X_exact_host, dtype=jnp.int4)
+        else:
+            self.X_exact = jnp.asarray(X_exact_host)
         self.X_float = jnp.asarray(
             _densify_columns(X_csc, float_cols, dtype))
 
@@ -628,6 +666,11 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 return self.X_float.dtype
             if self.backend == 'bitpack':
                 return self.column_offset.dtype
+            if self.X_exact.dtype in (jnp.int4, jnp.int8):
+                # Sub-word integer tiers have no implicit promotion
+                # path; their working dtype is the f32 they up-convert
+                # into inside the matmuls.
+                return jnp.dtype(jnp.float32)
             return jnp.promote_types(self.X_exact.dtype, jnp.float32)
         return self.row_val.dtype
 
@@ -644,11 +687,14 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         return u if pad == 0 else jnp.pad(u, (0, pad))
 
     def _exact_block(self):
-        """The exact block as an MXU operand. int8 is widened to bf16
-        (exact for integers up to 127); XLA fuses the convert into the
-        consuming matmul so HBM traffic stays at the stored width."""
+        """The exact block as an MXU operand. int4/int8 are widened to
+        bf16 (exact for integers up to 127); XLA fuses the convert into
+        the consuming matmul so HBM traffic stays at the stored width
+        (0.5 B/elem for the packed s4 form)."""
         Xe = self.X_exact
-        return Xe.astype(jnp.bfloat16) if Xe.dtype == jnp.int8 else Xe
+        if Xe.dtype in (jnp.int4, jnp.int8):
+            return Xe.astype(jnp.bfloat16)
+        return Xe
 
     def _bitpack_dot_bin(self, v_bin):
         """Binary-column part of X @ v via the byte-LUT Pallas kernel.
@@ -857,9 +903,14 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 # 0/1 blocks square to themselves -> skip the n x p
                 # squared transient for the (dominant) exact block.
                 if not getattr(self, 'exact_is_binary', False):
-                    # Integer squares can exceed bf16's exact-int range
-                    # (256); square in the working dtype instead.
-                    Xe = jnp.square(Xe.astype(out_dtype))
+                    if self.X_exact.dtype == jnp.int4:
+                        # int4 squares stay <= 64 < 256: exact in bf16,
+                        # no full-width squared transient needed.
+                        Xe = jnp.square(Xe)
+                    else:
+                        # Integer squares can exceed bf16's exact-int
+                        # range (256); square in the working dtype.
+                        Xe = jnp.square(Xe.astype(out_dtype))
                 Xf = Xf * Xf
             p_main = self._shape_main[1]
             w_pad = self._pad1(weight, Xe.shape[0])

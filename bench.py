@@ -94,7 +94,11 @@ def design_storage_bytes(design):
     else:
         arrays = (design.row_idx, design.row_val,
                   design.col_idx, design.col_val)
-    return int(sum(a.size * a.dtype.itemsize for a in arrays))
+    def nbytes(a):
+        if str(a.dtype) == 'int4':  # packed two-per-byte on device;
+            return a.size / 2       # .itemsize reports the logical 1 B
+        return a.size * a.dtype.itemsize
+    return int(sum(nbytes(a) for a in arrays))
 
 
 def roofline(design, mean_cg_iter, iters_per_sec):

@@ -138,14 +138,34 @@ def test_sparse_backends_centered_products_and_fisher(backend):
         np.diag(X_np.T @ (weight[:, None] * X_np)), atol=ATOL, rtol=RTOL)
 
 
-def test_hybrid_splits_int8_exact_columns():
-    """In float32 mode, binary/integer columns land in the int8 block and
-    are represented exactly; continuous columns stay float32."""
+def test_hybrid_splits_int4_exact_columns():
+    """In float32 mode, binary/dummy columns land in the packed int4
+    block and are represented exactly; continuous columns stay float32."""
     import scipy.sparse as sps
     rng = np.random.default_rng(15)
     binary = (rng.uniform(size=(40, 6)) < .3).astype(np.float64)
     dense = rng.standard_normal((40, 2)) * 1.7
     X = sps.csr_matrix(np.hstack([binary, dense]))
+    design = SparseDesignMatrix(X, add_intercept=False, backend='hybrid',
+                                dtype=np.float32)
+    assert str(design.X_exact.dtype) == 'int4'
+    assert design.X_exact.shape[1] == 6
+    assert design.X_float.shape[1] == 2
+    v = rng.standard_normal(8).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(design.dot(v)),
+                               X.toarray().astype(np.float32) @ v,
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_hybrid_splits_int8_exact_columns():
+    """Integer columns beyond the int4 range [-8, 7] take the int8 tier
+    instead, still exact."""
+    import scipy.sparse as sps
+    rng = np.random.default_rng(15)
+    counts = rng.integers(0, 100, size=(40, 6)).astype(np.float64) \
+        * (rng.uniform(size=(40, 6)) < .5)
+    dense = rng.standard_normal((40, 2)) * 1.7
+    X = sps.csr_matrix(np.hstack([counts, dense]))
     design = SparseDesignMatrix(X, add_intercept=False, backend='hybrid',
                                 dtype=np.float32)
     assert str(design.X_exact.dtype) == 'int8'
@@ -155,6 +175,23 @@ def test_hybrid_splits_int8_exact_columns():
     np.testing.assert_allclose(np.asarray(design.dot(v)),
                                X.toarray().astype(np.float32) @ v,
                                rtol=2e-6, atol=2e-6)
+
+
+def test_hybrid_int4_nonbinary_fisher_exact():
+    """Non-binary int4 columns (small signed integers) square exactly in
+    bf16 inside the Fisher second-moment path."""
+    import scipy.sparse as sps
+    rng = np.random.default_rng(23)
+    small = rng.integers(-8, 8, size=(30, 5)).astype(np.float64) \
+        * (rng.uniform(size=(30, 5)) < .6)
+    X = sps.csr_matrix(small)
+    design = SparseDesignMatrix(X, add_intercept=False, backend='hybrid',
+                                dtype=np.float32)
+    assert str(design.X_exact.dtype) == 'int4'
+    w = rng.uniform(.5, 2., size=30).astype(np.float32)
+    expect = np.einsum('i,ij->j', w, small ** 2)
+    got = np.asarray(design.compute_fisher_diag(w), np.float64)
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
 
 
 def test_hybrid_falls_back_to_bf16_block():
