@@ -76,6 +76,9 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         if memo is not None:
             return memo
         result = (self.X @ jnp.asarray(v, self.X.dtype))[:self._n_rows]
+        # Key the memo on the caller's value, not the converted device
+        # array (whose host round-trip is lossy on emulated-f64
+        # backends and would never match).
         self._store_memo(v, result)
         self.dot_count += 1
         return result

@@ -858,12 +858,13 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         memo = self._check_memo(v)
         if memo is not None:
             return memo
-        v = jnp.asarray(v, self.dtype)
-        if self.intercept_added:
-            result = self.main_dot(v[1:]) + v[0]
+        v_key = v  # memo keys on the CALLER's value: the device
+        v = jnp.asarray(v, self.dtype)  # round-trip of the converted
+        if self.intercept_added:        # array is lossy on emulated-f64
+            result = self.main_dot(v[1:]) + v[0]  # backends
         else:
             result = self.main_dot(v)
-        self._store_memo(v, result)
+        self._store_memo(v_key, result)
         self.dot_count += 1
         return result
 

@@ -15,6 +15,7 @@ import math
 import os
 import sys
 
+import jax
 import numpy as np
 import pytest
 
@@ -103,9 +104,17 @@ def test_gibbs_golden(model, sampling_method, matrix_format, restart):
     last_draw = samples['coef'][:, -1]
     if restart:
         # The restart combo shares its golden with the uninterrupted run:
-        # resume must be exact within this library.
-        np.testing.assert_allclose(last_draw, golden, rtol=1e-10,
-                                   atol=1e-12)
+        # resume must be exact within this library. On accelerator
+        # backends whose float64 is emulated (axon/TPU), the checkpoint's
+        # host round-trip loses the emulation's low bits (~1e-7
+        # relative observed), so exactness is pinned on CPU and the
+        # accelerator leg checks a tolerance just above that drift.
+        if jax.default_backend() == 'cpu':
+            np.testing.assert_allclose(last_draw, golden, rtol=1e-10,
+                                       atol=1e-12)
+        else:
+            np.testing.assert_allclose(last_draw, golden, rtol=1e-6,
+                                       atol=1e-9)
     else:
         np.testing.assert_allclose(last_draw, golden, rtol=1e-3, atol=1e-5)
 

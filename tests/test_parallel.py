@@ -178,9 +178,10 @@ def test_multihost_entry_is_noop_single_process():
     assert jax.process_count() == 1
     mesh = distributed.global_mesh()
     assert mesh.devices.size == len(jax.devices())
-    mesh2 = distributed.global_mesh(pred_shards=2)
-    assert mesh2.axis_names == ('shard', 'pred')
-    assert mesh2.devices.shape == (len(jax.devices()) // 2, 2)
+    if len(jax.devices()) >= 2:  # single-chip backends can't 2-d split
+        mesh2 = distributed.global_mesh(pred_shards=2)
+        assert mesh2.axis_names == ('shard', 'pred')
+        assert mesh2.devices.shape == (len(jax.devices()) // 2, 2)
 
 
 @pytest.mark.skipif(len(jax.devices()) < N_DEV,
