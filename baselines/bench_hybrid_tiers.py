@@ -90,8 +90,15 @@ def main():
     X = build_binary(args.n, args.p, args.density)
     print(f"n={args.n} p={args.p} density={args.density} "
           f"backend={jax.default_backend()}")
+    from bayesbridge_tpu.design.sparse import _int4_matmul_supported
+    tiers = ['bf16', 'int8']
+    if _int4_matmul_supported():
+        tiers.append('int4')
+    else:
+        print("int4 tier skipped: runtime has no S4 support "
+              "(capability probe failed)")
     results = [time_tier(X, t, args.reps, jax, jnp, None)
-               for t in ('bf16', 'int8', 'int4')]
+               for t in tiers]
     ref = results[0]
     print(f"{'tier':>6} {'stored_GB':>10} {'matvec_ms':>10} "
           f"{'eff_GB/s':>9} {'vs_bf16':>8}")

@@ -62,6 +62,19 @@ class AbstractDesignMatrix(abc.ABC):
     def toarray(self):
         """Materialize as a dense 2-d array (including intercept/centering)."""
 
+    def quad_matvec(self, v, weight):
+        """X' (weight * (X v)) — the design part of the CG sampler's
+        conditional-precision operator (reference:
+        bayesbridge/reg_coef_sampler/cg_sampler.py:104-113). The default
+        composes the two products; backends with a dense-stored block
+        override it with a fused single-HBM-pass kernel."""
+        return self.Tdot(weight * self.dot(v))
+
+    def fused_ne_mode(self):
+        """Interpret-flag for the fused normal-equations kernel if
+        `quad_matvec` will use it, else None (the composed default)."""
+        return None
+
     # -- bookkeeping ---------------------------------------------------- #
 
     @property

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .abstract import AbstractDesignMatrix
+from . import fusedne
 from ..utils.dtypes import default_float
 
 
@@ -26,6 +27,7 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         super().__init__()
         self.intercept_added = add_intercept
         self.centered = center_predictor
+        self._sharded = False
         if _skip_preprocess:
             self.X = X  # pytree unflatten path: already processed
             self._n_rows = _n_rows if _n_rows is not None else X.shape[0]
@@ -43,13 +45,15 @@ class DenseDesignMatrix(AbstractDesignMatrix):
     # -- pytree protocol ------------------------------------------------ #
 
     def tree_flatten(self):
-        aux = (self.intercept_added, self.centered, self._n_rows)
+        aux = (self.intercept_added, self.centered, self._n_rows,
+               self._sharded)
         return (self.X,), aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls(children[0], center_predictor=aux[1], add_intercept=aux[0],
                   _skip_preprocess=True, _n_rows=aux[2])
+        obj._sharded = aux[3]
         return obj
 
     # -- interface ------------------------------------------------------ #
@@ -86,6 +90,32 @@ class DenseDesignMatrix(AbstractDesignMatrix):
     def Tdot(self, v):
         self.Tdot_count += 1
         return self.X.T @ self._pad_obs(jnp.asarray(v, self.X.dtype))
+
+    def fused_ne_mode(self):
+        """Interpret-flag for the fused normal-equations kernel if
+        `quad_matvec` will use it, else None (composed dot/Tdot)."""
+        interpret = fusedne.dispatch_mode()
+        if interpret is None or self._sharded \
+                or self.X.dtype != jnp.float32:
+            return None
+        return interpret
+
+    def quad_matvec(self, v, weight):
+        """X' (weight * (X v)) in one HBM sweep of the stored matrix via
+        the fused normal-equations kernel (design/fusedne.py); the
+        intercept/centering are already materialized in X, so the
+        kernel's per-row offset is zero."""
+        interpret = self.fused_ne_mode()
+        if interpret is None:
+            return super().quad_matvec(v, weight)
+        v = jnp.asarray(v, jnp.float32)
+        weight = jnp.asarray(weight, jnp.float32)
+        out, _ = fusedne.fused_ne_matvec(
+            self.X, v, jnp.zeros(self._n_rows, jnp.float32), weight,
+            interpret=interpret)
+        self.dot_count += 1
+        self.Tdot_count += 1
+        return out
 
     def compute_fisher_info(self, weight, diag_only=False):
         weight = self._pad_obs(jnp.asarray(weight, self.X.dtype))

@@ -1,0 +1,243 @@
+"""Fused normal-equations matvec over dense-stored design blocks.
+
+Every CG iteration applies the conditional-precision operator
+``Phi x = prior_prec * x + X' diag(w) (X x)``; the reference evaluates
+the design part as two separate sparse matvecs (reference:
+bayesbridge/reg_coef_sampler/cg_sampler.py:104-113, each dispatching to
+the MKL CSR matvec, mkl_matvec.py:17-56). On TPU both passes are
+HBM-bound streams over the same stored arrays, so this kernel computes
+
+    t   = sum_b B_b v_b + c    (phase A: lane-reduce each panel)
+    u   = w * t
+    out_b = B_b' u             (phase B: sublane-reduce the SAME panels)
+
+with every block read from HBM exactly once — each grid step holds one
+(R, p_pad) row panel per block in VMEM and runs both phases on it,
+accumulating each ``out_b`` in a VMEM-resident output block. For the
+hybrid design (one narrow int8/bf16 exact block + one f32 float block)
+the two-block form makes the whole operator application a single sweep
+of the stored design, halving the dominant HBM stream that sets the
+sampler's throughput at headline scale (BASELINE.md roofline).
+
+Storage dtypes int8/bf16/f32 up-convert chunk-by-chunk on the VPU, so
+HBM traffic stays at the stored width — the same fused-up-convert
+contract as the unfused hybrid matmuls (`sparse.py _exact_block`). Both
+reductions are plain multiply-adds on the VPU: a matvec has no MXU-sized
+second operand, and at one pass per byte the kernel is bandwidth-bound,
+not FLOP-bound.
+
+Padding contract: ``v_b``/``c``/``w`` are zero-padded by the wrapper;
+block regions beyond the stored array hold UNDEFINED bits, so phase A
+masks the ragged lane tail (NaN bit patterns would otherwise poison
+``0 * x``) and ``u`` is masked past the true row count. Phase B needs no
+lane mask: garbage lanes only accumulate into padded output lanes, which
+are sliced off.
+"""
+
+import contextlib
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def dispatch_mode():
+    """Dispatch mode for the fused kernel: None = use the composed
+    dot-then-Tdot path; False = compiled Pallas kernel; True =
+    interpreter. BB_FUSED_NE: 'auto' (default — compiled on TPU,
+    composed elsewhere: the interpreter is far too slow to serve CPU
+    sessions), '1' (force on; interpreted off-TPU, for tests), '0'
+    (force off)."""
+    mode = os.environ.get('BB_FUSED_NE', 'auto')
+    on_tpu = jax.default_backend() == 'tpu'
+    if mode == '0':
+        return None
+    if mode == '1':
+        return not on_tpu
+    return False if on_tpu else None
+
+# Lanes reduced per inner step: bounds the f32 up-convert transient to
+# R x _CHUNK x 4 bytes while keeping lane reductions wide.
+_CHUNK = 1024
+# Per-grid-step VMEM budget for the row panels, all blocks combined
+# (double-buffered by the pipeline, so ~2x this resides in VMEM plus
+# the v/out blocks).
+_X_BUDGET = 4 * 1024 * 1024
+
+_SUBLANE = {1: 32, 2: 16, 4: 8}  # min sublane tile per itemsize
+
+
+def _ceil_to(x, m):
+    return -(-x // m) * m
+
+
+def plan(n, widths_dtypes):
+    """Static kernel plan for row-aligned blocks of (p_b, dtype_b):
+    (R, grid, per-block [(p_pad, n_full, rem)]) — panel rows, grid
+    steps, and each block's padded lane width / full lane chunks /
+    ragged-tail width."""
+    items = [jnp.dtype(dt).itemsize for _, dt in widths_dtypes]
+    sub = max(_SUBLANE[it] for it in items)
+    pads = [_ceil_to(max(p, 1), _CHUNK) for p, _ in widths_dtypes]
+    row_bytes = sum(p_pad * it for p_pad, it in zip(pads, items))
+    r = max(sub, _X_BUDGET // row_bytes // sub * sub)
+    r = min(r, _ceil_to(max(n, 1), sub))
+    grid = -(-max(n, 1) // r)
+    blocks = [(p_pad, p // _CHUNK, p - (p // _CHUNK) * _CHUNK)
+              for p_pad, (p, _) in zip(pads, widths_dtypes)]
+    return r, grid, blocks
+
+
+def _ne_kernel(*refs, n_blocks, n_rows, meta):
+    """`meta[b] = (n_full, rem, float_pad)` (static): when the stored
+    dtype is a float type, undefined block-padding bits can be NaN/Inf
+    and `0 * garbage` does NOT vanish — ragged lane tails (phase A) and
+    ragged row panels (phase B) must be masked. Integer-stored blocks
+    skip both masks: any bit pattern is a finite integer and the
+    zero-padded operands annihilate it."""
+    x_refs = refs[:n_blocks]
+    v_refs = refs[n_blocks:2 * n_blocks]
+    c_ref, w_ref = refs[2 * n_blocks:2 * n_blocks + 2]
+    out_refs = refs[2 * n_blocks + 2:3 * n_blocks + 2]
+    u_ref = refs[3 * n_blocks + 2]
+    i = pl.program_id(0)
+    r = x_refs[0].shape[0]
+    f32 = jnp.float32
+    row = i * r + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+
+    t = jnp.zeros((r, 1), f32)
+    for b in range(n_blocks):
+        n_full, rem, float_pad = meta[b]
+        x_ref, v_ref = x_refs[b], v_refs[b]
+
+        def body_a(k, acc, x_ref=x_ref, v_ref=v_ref):
+            off = pl.multiple_of(k * _CHUNK, _CHUNK)
+            xk = x_ref[:, pl.ds(off, _CHUNK)].astype(f32)
+            return acc + jnp.sum(xk * v_ref[:, pl.ds(off, _CHUNK)],
+                                 axis=1, keepdims=True)
+
+        t = jax.lax.fori_loop(0, n_full, body_a, t)
+        if rem:
+            # Static ragged tail: lanes >= rem hold undefined padding.
+            xk = x_ref[:, n_full * _CHUNK:(n_full + 1) * _CHUNK] \
+                .astype(f32)
+            if float_pad:
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (r, _CHUNK), 1)
+                xk = jnp.where(lane < rem, xk, 0.0)
+            t = t + jnp.sum(
+                xk * v_ref[:, n_full * _CHUNK:(n_full + 1) * _CHUNK],
+                axis=1, keepdims=True)
+
+    u = w_ref[:] * (t + c_ref[:])
+    # Rows past n_rows carry garbage t; jnp.where SELECTS (discards the
+    # garbage) where a multiply by the zero-padded w would keep NaN.
+    u = jnp.where(row < n_rows, u, 0.0)
+    u_ref[:] = u
+
+    for b in range(n_blocks):
+        n_full, rem, float_pad = meta[b]
+        x_ref, out_ref = x_refs[b], out_refs[b]
+
+        @pl.when(i == 0)
+        def _(out_ref=out_ref):
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        def body_b(k, carry, x_ref=x_ref, out_ref=out_ref,
+                   float_pad=float_pad):
+            off = pl.multiple_of(k * _CHUNK, _CHUNK)
+            xk = x_ref[:, pl.ds(off, _CHUNK)].astype(f32)
+            if float_pad:
+                # NaN bits in undefined padded ROWS would poison every
+                # column sum through 0 * NaN; select them away.
+                xk = jnp.where(row < n_rows, xk, 0.0)
+            out_ref[:, pl.ds(off, _CHUNK)] += jnp.sum(
+                xk * u, axis=0, keepdims=True)
+            return carry
+
+        jax.lax.fori_loop(0, n_full + (1 if rem else 0), body_b, 0)
+
+
+def _run(blocks, c, w, interpret):
+    """Shared driver: blocks = [(X_b, v_b)], row-aligned. Returns
+    ([out_b], u) with u = w * (sum_b X_b v_b + c), out_b = X_b' u."""
+    n = blocks[0][0].shape[0]
+    n_blocks = len(blocks)
+    r, grid, plans = plan(n, [(X.shape[1], X.dtype) for X, _ in blocks])
+    f32 = jnp.float32
+    n_pad = grid * r
+    v_pads = [jnp.zeros((1, p_pad), f32).at[0, :X.shape[1]].set(
+        v.astype(f32)) for (X, v), (p_pad, _, _) in zip(blocks, plans)]
+    c_pad = jnp.zeros((n_pad, 1), f32).at[:n, 0].set(c.astype(f32))
+    w_pad = jnp.zeros((n_pad, 1), f32).at[:n, 0].set(w.astype(f32))
+    meta = tuple(
+        (n_full, rem, bool(jnp.issubdtype(X.dtype, jnp.floating)))
+        for (X, _), (_, n_full, rem) in zip(blocks, plans))
+    kernel = functools.partial(_ne_kernel, n_blocks=n_blocks,
+                               n_rows=n, meta=meta)
+    x_specs = [pl.BlockSpec((r, p_pad), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+               for p_pad, _, _ in plans]
+    v_specs = [pl.BlockSpec((1, p_pad), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+               for p_pad, _, _ in plans]
+    col_spec = pl.BlockSpec((r, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((1, p_pad), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+                 for p_pad, _, _ in plans]
+    out_shapes = [jax.ShapeDtypeStruct((1, p_pad), f32)
+                  for p_pad, _, _ in plans]
+    stored_bytes = sum(X.size * X.dtype.itemsize for X, _ in blocks)
+    # Index maps / iota canonicalize to 64-bit under jax_enable_x64,
+    # which Mosaic cannot legalize; all operands here are <= 32-bit.
+    x64_off = jax.enable_x64(False) if not interpret \
+        else contextlib.nullcontext()
+    with x64_off:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=x_specs + v_specs + [col_spec, col_spec],
+            out_specs=tuple(out_specs) + (col_spec,),
+            out_shape=tuple(out_shapes)
+            + (jax.ShapeDtypeStruct((n_pad, 1), f32),),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * n * sum(X.shape[1] for X, _ in blocks),
+                bytes_accessed=stored_bytes + 4 * (
+                    sum(p for p, _, _ in plans) + 3 * n_pad),
+                transcendentals=0),
+            interpret=interpret,
+        )(*[X for X, _ in blocks], *v_pads, c_pad, w_pad)
+    u = outs[-1][:n, 0]
+    return [o[0, :X.shape[1]]
+            for o, (X, _) in zip(outs[:-1], blocks)], u
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def fused_ne_matvec(X, v, c, w, interpret=False):
+    """(out, u) with u = w * (X v + c) and out = X' u, reading the
+    stored block X from HBM once.
+
+    Parameters
+    ----------
+    X : (n, pe) int8 | bfloat16 | float32 device array
+    v : (pe,) vector;  c, w : (n,) per-row offset and weight
+    """
+    outs, u = _run([(X, v)], c, w, interpret)
+    return outs[0], u
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def fused_ne_matvec2(Xe, Xf, ve, vf, c, w, interpret=False):
+    """Two-block form for the hybrid design: (out_e, out_f, u) with
+    u = w * (Xe ve + Xf vf + c), out_e = Xe' u, out_f = Xf' u — the
+    whole operator application in ONE sweep of both stored blocks.
+
+    Xe, Xf share the row (observation) axis; dtypes may differ (int8 /
+    bf16 exact block next to the f32 float block).
+    """
+    outs, u = _run([(Xe, ve), (Xf, vf)], c, w, interpret)
+    return outs[0], outs[1], u

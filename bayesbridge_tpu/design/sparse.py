@@ -66,6 +66,7 @@ from warnings import warn
 from .abstract import AbstractDesignMatrix
 from .ell import csr_to_ell, dual_ell_from_scipy
 from . import bitlut
+from . import fusedne
 from . import winell as winell_mod
 from ..native import sparsekit
 from ..utils.dtypes import default_float
@@ -77,6 +78,35 @@ _HYBRID_MAX_BYTES = float(os.environ.get('BB_HYBRID_MAX_BYTES', 8e9))
 _BITPACK_MAX_BYTES = float(os.environ.get('BB_BITPACK_MAX_BYTES', 8e9))
 # Minimum share of binary columns for the bitpack backend to pay off.
 _BITPACK_MIN_BINARY_FRAC = 0.5
+
+# Lazily-probed: can the default backend actually build and consume a
+# packed-s4 operand? PJRT plugins are allowed to leave S4 unimplemented
+# (the tunneled TPU runtime rejects both the host->device transfer of an
+# S4 buffer and `convert(s4->bf16)` feeding a dot), and XLA:CPU only
+# gained it recently — so the storage-tier pick must never choose a
+# representation the runtime cannot execute.
+_INT4_SUPPORTED = None
+
+
+def _int4_matmul_supported():
+    """True iff the current default device can (a) materialize a packed
+    jnp.int4 array from host int8 and (b) widen it into an MXU matmul —
+    i.e. exactly the two operations the int4 hybrid tier performs.
+    Probed once per process on an 8x8 toy; any failure (transfer
+    rejection, UNIMPLEMENTED convert/dot) disables the tier."""
+    global _INT4_SUPPORTED
+    if _INT4_SUPPORTED is None:
+        try:
+            toy = jnp.asarray(np.ones((8, 8), np.int8), dtype=jnp.int4)
+            f = jax.jit(lambda a: a.astype(jnp.bfloat16)
+                        @ jnp.ones((8, 8), jnp.bfloat16))
+            # A host fetch (not block_until_ready) is what truthfully
+            # forces remote execution through tunneled runtimes.
+            np.asarray(f(toy))
+            _INT4_SUPPORTED = True
+        except Exception:  # noqa: BLE001 - any runtime rejection counts
+            _INT4_SUPPORTED = False
+    return _INT4_SUPPORTED
 
 
 def _densify_columns(X_csc, cols, out_dtype):
@@ -155,6 +185,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         self.intercept_added = add_intercept
         self.centered = center_predictor
         self._dense_cache = None
+        self._hybrid_sharded = False
         if _parts is not None:  # pytree unflatten path
             (self.backend, self._shape_main, self._nnz,
              self.exact_is_binary, self._bitpack_meta,
@@ -214,10 +245,14 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                     if p else 1.0
                 int8_frac = float(np.mean(_int8_exact_columns(X_csc))) \
                     if p else 1.0
+                cost_int4 = int4_frac * 0.5 + (1 - int4_frac) * 4
                 per_elem = min(
-                    int4_frac * 0.5 + (1 - int4_frac) * 4,
                     int8_frac * 1 + (1 - int8_frac) * 4,
                     exact_frac * 2 + (1 - exact_frac) * 4)
+                # Only pay the capability probe when int4 would actually
+                # change the estimate.
+                if cost_int4 < per_elem and _int4_matmul_supported():
+                    per_elem = cost_int4
             else:
                 per_elem = dtype.itemsize
             hybrid_bytes = n * p * per_elem
@@ -311,6 +346,11 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 'bf16': 2 * n_bf16 + 4 * (p - n_bf16),
             }
             pick = min(costs, key=costs.get)
+            if pick == 'int4' and not _int4_matmul_supported():
+                # The runtime can't execute S4 (transfer or matmul
+                # UNIMPLEMENTED); take the next-cheapest tier it can.
+                del costs['int4']
+                pick = min(costs, key=costs.get)
             if pick == 'int4':
                 # Densify through int8 (NumPy has no 4-bit layout); the
                 # device array is the packed s4 form.
@@ -625,19 +665,22 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                getattr(self, '_bitpack_meta', None),
                getattr(self, '_winell_meta', None),
                getattr(self, '_bitpack_shard', None),
-               getattr(self, '_winell_shard', None))
+               getattr(self, '_winell_shard', None),
+               getattr(self, '_hybrid_sharded', False))
         return arrays, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (intercept_added, centered, backend, shape_main, nnz, binary,
-         bitpack_meta, winell_meta, bitpack_shard, winell_shard) = aux
+         bitpack_meta, winell_meta, bitpack_shard, winell_shard,
+         hybrid_sharded) = aux
         obj = cls(None, center_predictor=centered,
                   add_intercept=intercept_added,
                   _parts=((backend, shape_main, nnz, binary,
                            bitpack_meta, winell_meta), children))
         obj._bitpack_shard = bitpack_shard
         obj._winell_shard = winell_shard
+        obj._hybrid_sharded = hybrid_sharded
         return obj
 
     # -- shape / metadata ------------------------------------------------ #
@@ -853,6 +896,68 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             result = jnp.sum(self.col_val * gathered,
                              axis=1)[:self._shape_main[1]]
         return result - jnp.sum(u) * self.column_offset
+
+    def fused_ne_mode(self):
+        """Interpret-flag for the fused normal-equations kernel if
+        `quad_matvec` will use it, else None (composed dot/Tdot): the
+        kernel serves unsharded f32 hybrid designs whose exact block is
+        a storage dtype it can up-convert. bench.py's roofline model
+        keys its per-array pass counts on this."""
+        interpret = fusedne.dispatch_mode()
+        if (interpret is None or self.backend != 'hybrid'
+                or self._hybrid_sharded
+                or self.dtype != jnp.float32
+                or self.X_exact.dtype not in (jnp.int8, jnp.bfloat16,
+                                              jnp.float32)
+                or self.exact_cols.size == 0):
+            return None
+        return interpret
+
+    def quad_matvec(self, v, weight):
+        """X' (weight * (X v)) — the CG operator's design part
+        (reference: bayesbridge/reg_coef_sampler/cg_sampler.py:104-113).
+        On the hybrid backend BOTH stored blocks are swept ONCE by the
+        fused normal-equations Pallas kernel (design/fusedne.py, 2x
+        less traffic than dot-then-Tdot — the whole operator
+        application is a single HBM sweep of the design); the intercept
+        and centering fold into the kernel's per-row offset `c` and its
+        returned residual vector `u = weight * (X v)`."""
+        interpret = self.fused_ne_mode()
+        if interpret is None:
+            return super().quad_matvec(v, weight)
+        n, p_main = self._shape_main
+        v = jnp.asarray(v, self.dtype)
+        weight = jnp.asarray(weight, self.dtype)
+        if self.intercept_added:
+            v0, v_main = v[0], v[1:]
+        else:
+            v0, v_main = jnp.zeros((), self.dtype), v
+        ve = self._pad1(jnp.take(v_main, self.exact_cols),
+                        self.X_exact.shape[1])
+        c_scalar = v0 - self.column_offset @ v_main
+        c_vec = jnp.full((n,), c_scalar, self.dtype)
+        if self.float_cols.size:
+            vf = self._pad1(jnp.take(v_main, self.float_cols),
+                            self.X_float.shape[1])
+            out_e, out_f, u = fusedne.fused_ne_matvec2(
+                self.X_exact[:n], self.X_float[:n], ve, vf, c_vec,
+                weight, interpret=interpret)
+        else:
+            out_e, u = fusedne.fused_ne_matvec(
+                self.X_exact[:n], ve, c_vec, weight, interpret=interpret)
+        sum_u = jnp.sum(u)
+        result = jnp.zeros(p_main, self.dtype)
+        result = result.at[self.exact_cols].set(
+            out_e[:self.exact_cols.shape[0]])
+        if self.float_cols.size:
+            result = result.at[self.float_cols].set(
+                out_f[:self.float_cols.shape[0]])
+        result = result - sum_u * self.column_offset
+        if self.intercept_added:
+            result = jnp.concatenate((sum_u[None], result))
+        self.dot_count += 1
+        self.Tdot_count += 1
+        return result
 
     def dot(self, v):
         memo = self._check_memo(v)

@@ -69,9 +69,11 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
 
     def matvec(x):
         # Phi-tilde x = D P D x + s X' (omega X (s x)) with s the
-        # preconditioner scale (cg_sampler.py:104-113).
-        return precond_prior_prec * x + precond_scale * design.Tdot(
-            obs_prec * design.dot(precond_scale * x))
+        # preconditioner scale (cg_sampler.py:104-113). quad_matvec
+        # evaluates the design part in ONE stored-block HBM sweep on
+        # backends with a fused kernel (design/fusedne.py).
+        return precond_prior_prec * x + precond_scale * \
+            design.quad_matvec(precond_scale * x, obs_prec)
 
     x0 = coef_cg_init / precond_scale
     r0 = b - matvec(x0)

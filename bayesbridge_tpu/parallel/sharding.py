@@ -128,6 +128,7 @@ def shard_design(design, mesh, axis_name=SHARD_AXIS, pred_axis=None):
     if isinstance(design, DenseDesignMatrix):
         design.X = _put_pad(design.X, mesh, P(axis_name, pred_axis),
                             pad_dims=(0,))
+        design._sharded = True  # fused NE kernel can't be partitioned
         return design
     if isinstance(design, SparseDesignMatrix):
         if design.backend == 'bitpack':
@@ -165,6 +166,10 @@ def shard_design(design, mesh, axis_name=SHARD_AXIS, pred_axis=None):
             design.X_float = _put_pad(design.X_float, mesh,
                                       P(axis_name, pred_axis),
                                       pad_dims=(0, 1))
+            # GSPMD cannot partition the fused NE Pallas kernel; the
+            # sharded blocks take the composed dot/Tdot path, whose
+            # matmuls XLA partitions with ICI collectives.
+            design._hybrid_sharded = True
         else:
             design.row_idx = _put_pad(design.row_idx, mesh,
                                       P(axis_name, None))

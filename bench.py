@@ -104,20 +104,29 @@ def design_storage_bytes(design):
 def roofline(design, mean_cg_iter, iters_per_sec):
     """Bytes/iteration and achieved HBM fraction for the CG Gibbs step.
 
-    Design passes per iteration: the PCG solve does one dot+Tdot pair
-    per CG iteration plus one warm-start pair; around it the step reads
-    the design for the collapsed observation (1 Tdot), the b-vector
-    noise (1 Tdot), the Jacobi preconditioner diagonal (1 pass), the
-    Polya-Gamma linear predictor (1 dot) and the log-density (1 dot,
-    usually CSE'd with the former). Vector traffic is negligible at
-    these shapes.
+    Design passes per iteration: the PCG solve applies the operator once
+    per CG iteration plus once for the warm start; around it the step
+    reads the design for the collapsed observation (1 Tdot), the
+    b-vector noise (1 Tdot), the Jacobi preconditioner diagonal
+    (1 pass), the Polya-Gamma linear predictor (1 dot) and the
+    log-density (1 dot, usually CSE'd with the former). Each operator
+    application is a dot+Tdot pair — EXCEPT when the fused
+    normal-equations kernel is active (design/fusedne.py), which sweeps
+    BOTH hybrid blocks once per application. Vector traffic is
+    negligible at these shapes.
     """
-    passes = 2.0 * (mean_cg_iter + 1.0) + 5.0
-    bytes_per_iter = passes * design_storage_bytes(design)
+    total_bytes = design_storage_bytes(design)
+    n_ops = mean_cg_iter + 1.0      # operator applications in the solve
+    if design.fused_ne_mode() is not None:
+        passes = n_ops + 5.0
+    else:
+        passes = 2.0 * n_ops + 5.0
+    bytes_per_iter = passes * total_bytes
     achieved = bytes_per_iter * iters_per_sec / 1e9
     out = {
-        'design_gb': round(design_storage_bytes(design) / 1e9, 3),
+        'design_gb': round(total_bytes / 1e9, 3),
         'design_passes_per_iter': round(passes, 1),
+        'fused_ne_active': design.fused_ne_mode() is not None,
         'bytes_per_iter_gb': round(bytes_per_iter / 1e9, 3),
         'achieved_gb_per_s': round(achieved, 1),
         'hbm_utilization': round(achieved / _PEAK_HBM_GBPS, 3),

@@ -22,8 +22,21 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules. The full suite
+    compiles hundreds of XLA:CPU programs in one process; holding them
+    all alive exhausts JIT code-mapping resources and LLVM eventually
+    segfaults inside backend_compile (seen deterministically around the
+    ~134th test regardless of which tests ran). Cross-module cache reuse
+    is rare, so the re-compile cost is negligible next to the crash."""
+    yield
+    jax.clear_caches()
 if not os.environ.get("BB_TEST_ON_TPU"):
     # The sandbox's sitecustomize force-registers the axon TPU plugin and
     # overrides JAX_PLATFORMS, so the env var alone is not enough.

@@ -148,7 +148,11 @@ def test_hybrid_splits_int4_exact_columns():
     X = sps.csr_matrix(np.hstack([binary, dense]))
     design = SparseDesignMatrix(X, add_intercept=False, backend='hybrid',
                                 dtype=np.float32)
-    assert str(design.X_exact.dtype) == 'int4'
+    # Runtimes without S4 support (some PJRT plugins) fall to int8; the
+    # tier must match what the capability probe reports.
+    from bayesbridge_tpu.design.sparse import _int4_matmul_supported
+    want = 'int4' if _int4_matmul_supported() else 'int8'
+    assert str(design.X_exact.dtype) == want
     assert design.X_exact.shape[1] == 6
     assert design.X_float.shape[1] == 2
     v = rng.standard_normal(8).astype(np.float32)
@@ -187,11 +191,33 @@ def test_hybrid_int4_nonbinary_fisher_exact():
     X = sps.csr_matrix(small)
     design = SparseDesignMatrix(X, add_intercept=False, backend='hybrid',
                                 dtype=np.float32)
-    assert str(design.X_exact.dtype) == 'int4'
+    from bayesbridge_tpu.design.sparse import _int4_matmul_supported
+    want = 'int4' if _int4_matmul_supported() else 'int8'
+    assert str(design.X_exact.dtype) == want
     w = rng.uniform(.5, 2., size=30).astype(np.float32)
     expect = np.einsum('i,ij->j', w, small ** 2)
     got = np.asarray(design.compute_fisher_diag(w), np.float64)
     np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+def test_hybrid_int4_disabled_without_runtime_support(monkeypatch):
+    """When the capability probe reports the runtime cannot execute S4
+    (some PJRT plugins leave it UNIMPLEMENTED), the tier pick must fall
+    to the next-cheapest representation instead of building an operand
+    the device will reject."""
+    import scipy.sparse as sps
+    from bayesbridge_tpu.design import sparse as sparse_mod
+    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED', False)
+    rng = np.random.default_rng(15)
+    binary = (rng.uniform(size=(40, 6)) < .3).astype(np.float64)
+    X = sps.csr_matrix(binary)
+    design = SparseDesignMatrix(X, add_intercept=False, backend='hybrid',
+                                dtype=np.float32)
+    assert str(design.X_exact.dtype) == 'int8'
+    v = rng.standard_normal(6).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(design.dot(v)),
+                               X.toarray().astype(np.float32) @ v,
+                               rtol=2e-6, atol=2e-6)
 
 
 def test_hybrid_falls_back_to_bf16_block():

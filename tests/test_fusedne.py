@@ -1,0 +1,219 @@
+"""Fused normal-equations matvec (design/fusedne.py): the single-sweep
+kernel behind SparseDesignMatrix.quad_matvec must reproduce the composed
+dot-then-Tdot path (reference CG operator:
+bayesbridge/reg_coef_sampler/cg_sampler.py:104-113) for every stored
+tier, shape raggedness, and intercept/centering combination."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sps
+
+from bayesbridge_tpu.design import SparseDesignMatrix
+from bayesbridge_tpu.design import fusedne
+
+
+def _dtype(tag):
+    if tag == 'bf16':
+        import ml_dtypes
+        return ml_dtypes.bfloat16
+    return {'int8': np.int8, 'f32': np.float32}[tag]
+
+
+@pytest.mark.parametrize('tag', ['int8', 'bf16', 'f32'])
+@pytest.mark.parametrize('shape', [(45, 70), (33, 150), (64, 128)])
+def test_kernel_matches_dense_reference(tag, shape):
+    n, pe = shape
+    rng = np.random.default_rng(hash((tag, shape)) % 2 ** 31)
+    X = rng.integers(-3, 4, size=(n, pe)).astype(_dtype(tag))
+    v = rng.standard_normal(pe).astype(np.float32)
+    c = rng.standard_normal(n).astype(np.float32)
+    w = rng.exponential(size=n).astype(np.float32)
+    out, u = fusedne.fused_ne_matvec(
+        jnp.asarray(X), jnp.asarray(v), jnp.asarray(c), jnp.asarray(w),
+        interpret=True)
+    Xf = X.astype(np.float32)
+    u_ref = w * (Xf @ v + c)
+    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out), Xf.T @ u_ref,
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_kernel_multi_panel_accumulation(monkeypatch):
+    """Shrinking the VMEM budget forces a multi-step grid, exercising
+    the cross-panel accumulation of `out` and per-panel writes of `u`
+    (including an undefined ragged row panel at the end)."""
+    monkeypatch.setattr(fusedne, '_X_BUDGET', 32 * 1024)
+    rng = np.random.default_rng(7)
+    n, pe = 44, 200
+    X = (rng.standard_normal((n, pe)) *
+         (rng.uniform(size=(n, pe)) < 0.2)).astype(np.float32)
+    v = rng.standard_normal(pe).astype(np.float32)
+    c = rng.standard_normal(n).astype(np.float32)
+    w = rng.exponential(size=n).astype(np.float32)
+    r, grid, blocks = fusedne.plan(n, [(pe, jnp.float32)])
+    assert grid >= 2 and n % r != 0 and blocks[0][2] > 0
+    out, u = fusedne.fused_ne_matvec(
+        jnp.asarray(X), jnp.asarray(v), jnp.asarray(c), jnp.asarray(w),
+        interpret=True)
+    u_ref = w * (X @ v + c)
+    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out), X.T @ u_ref,
+                               rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize('shape', [(45, 70, 9), (64, 256, 128)])
+def test_two_block_kernel_matches_dense_reference(monkeypatch, shape):
+    """The two-block form (int8 exact + f32 float, shared row axis)
+    must equal the dense composition, including across a multi-step
+    grid with ragged row and lane tails."""
+    monkeypatch.setattr(fusedne, '_X_BUDGET', 32 * 1024)
+    n, pe, pf = shape
+    rng = np.random.default_rng(hash(shape) % 2 ** 31)
+    Xe = rng.integers(-3, 4, size=(n, pe)).astype(np.int8)
+    Xf = (rng.standard_normal((n, pf)) *
+          (rng.uniform(size=(n, pf)) < 0.3)).astype(np.float32)
+    ve = rng.standard_normal(pe).astype(np.float32)
+    vf = rng.standard_normal(pf).astype(np.float32)
+    c = rng.standard_normal(n).astype(np.float32)
+    w = rng.exponential(size=n).astype(np.float32)
+    out_e, out_f, u = fusedne.fused_ne_matvec2(
+        jnp.asarray(Xe), jnp.asarray(Xf), jnp.asarray(ve),
+        jnp.asarray(vf), jnp.asarray(c), jnp.asarray(w), interpret=True)
+    u_ref = w * (Xe.astype(np.float32) @ ve + Xf @ vf + c)
+    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=2e-5,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_e),
+                               Xe.astype(np.float32).T @ u_ref,
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_f), Xf.T @ u_ref,
+                               rtol=2e-4, atol=2e-3)
+
+
+def _mixed_design(monkeypatch, seed=3, n=40, centered=False,
+                  intercept=True, binary_only=False):
+    # Pin the exact tier to int8: where the runtime supports packed s4
+    # (XLA:CPU) the binary columns would get the int4 tier, which the
+    # fused kernel does not serve — and every fused-vs-composed
+    # comparison below would silently compare composed against itself.
+    from bayesbridge_tpu.design import sparse as sparse_mod
+    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED', False)
+    rng = np.random.default_rng(seed)
+    binary = (rng.uniform(size=(n, 6)) < .3).astype(np.float64)
+    parts = [binary] if binary_only \
+        else [binary, rng.standard_normal((n, 3)) * 1.3]
+    X = sps.csr_matrix(np.hstack(parts))
+    design = SparseDesignMatrix(X, center_predictor=centered,
+                                add_intercept=intercept,
+                                backend='hybrid', dtype=np.float32)
+    assert str(design.X_exact.dtype) == 'int8'
+    return design, X
+
+
+@pytest.mark.parametrize('centered', [False, True])
+@pytest.mark.parametrize('intercept', [False, True])
+@pytest.mark.parametrize('binary_only', [False, True])
+def test_quad_matvec_matches_composed(monkeypatch, centered, intercept,
+                                      binary_only):
+    design, _ = _mixed_design(monkeypatch, centered=centered,
+                              intercept=intercept,
+                              binary_only=binary_only)
+    rng = np.random.default_rng(11)
+    n, p = design.shape
+    v = rng.standard_normal(p).astype(np.float32)
+    w = rng.exponential(size=n).astype(np.float32)
+    monkeypatch.setenv('BB_FUSED_NE', '0')
+    composed = np.asarray(design.quad_matvec(v, w))
+    monkeypatch.setenv('BB_FUSED_NE', '1')
+    assert design.fused_ne_mode() is not None
+    fused = np.asarray(design.quad_matvec(v, w))
+    scale = np.abs(composed).max()
+    np.testing.assert_allclose(fused, composed, rtol=2e-4,
+                               atol=2e-4 * scale)
+
+
+def test_quad_matvec_fused_inside_jit(monkeypatch):
+    """The fused path must survive the pytree round trip (design as a
+    jit argument), where eligibility flags ride in aux_data."""
+    monkeypatch.setenv('BB_FUSED_NE', '1')
+    design, _ = _mixed_design(monkeypatch)
+    rng = np.random.default_rng(5)
+    n, p = design.shape
+    v = jnp.asarray(rng.standard_normal(p).astype(np.float32))
+    w = jnp.asarray(rng.exponential(size=n).astype(np.float32))
+    jitted = jax.jit(lambda d, v, w: d.quad_matvec(v, w))
+    monkeypatch.setenv('BB_FUSED_NE', '0')
+    composed = np.asarray(design.quad_matvec(v, w))
+    monkeypatch.setenv('BB_FUSED_NE', '1')
+    assert design.fused_ne_mode() is not None
+    fused = np.asarray(jitted(design, v, w))
+    np.testing.assert_allclose(fused, composed, rtol=2e-4,
+                               atol=2e-4 * np.abs(composed).max())
+
+
+def test_quad_matvec_sharded_falls_back(monkeypatch):
+    """After shard_design, GSPMD owns the partitioned matmuls; the
+    design must take the composed path (the Pallas kernel cannot be
+    auto-partitioned), flagged via _hybrid_sharded in the pytree aux."""
+    from bayesbridge_tpu.parallel.sharding import make_mesh, shard_design
+    monkeypatch.setenv('BB_FUSED_NE', '1')
+    design, X = _mixed_design(monkeypatch, n=48)
+    mesh = make_mesh(min(2, len(jax.devices())))
+    shard_design(design, mesh)
+    assert design._hybrid_sharded
+    rng = np.random.default_rng(9)
+    n, p = design.shape
+    v = rng.standard_normal(p).astype(np.float32)
+    w = rng.exponential(size=n).astype(np.float32)
+    result = np.asarray(design.quad_matvec(v, w))
+    dense = np.hstack([np.ones((X.shape[0], 1)), X.toarray()]) \
+        .astype(np.float32)
+    expect = dense.T @ (w * (dense @ v))
+    np.testing.assert_allclose(result, expect, rtol=2e-4,
+                               atol=2e-4 * np.abs(expect).max())
+
+
+@pytest.mark.parametrize('centered', [False, True])
+def test_dense_quad_matvec_matches_composed(monkeypatch, centered):
+    from bayesbridge_tpu.design.dense import DenseDesignMatrix
+    rng = np.random.default_rng(13)
+    X = rng.standard_normal((37, 11))
+    design = DenseDesignMatrix(X, center_predictor=centered,
+                               add_intercept=True, dtype=np.float32)
+    n, p = design.shape
+    v = rng.standard_normal(p).astype(np.float32)
+    w = rng.exponential(size=n).astype(np.float32)
+    monkeypatch.setenv('BB_FUSED_NE', '0')
+    composed = np.asarray(design.quad_matvec(v, w))
+    monkeypatch.setenv('BB_FUSED_NE', '1')
+    assert design.fused_ne_mode() is not None
+    fused = np.asarray(design.quad_matvec(v, w))
+    np.testing.assert_allclose(fused, composed, rtol=2e-4,
+                               atol=2e-4 * np.abs(composed).max())
+
+
+def test_cg_draw_agrees_with_unfused(monkeypatch):
+    """One CG Gaussian draw through ops/cg.py with the fused operator
+    agrees with the composed operator to solver tolerance."""
+    from bayesbridge_tpu.ops.cg import sample_gaussian_cg
+    design, _ = _mixed_design(monkeypatch, n=60)
+    rng = np.random.default_rng(21)
+    n, p = design.shape
+    obs_prec = jnp.asarray(rng.exponential(size=n).astype(np.float32))
+    prior_prec_sqrt = jnp.asarray(
+        rng.uniform(0.5, 2.0, size=p).astype(np.float32))
+    z = jnp.asarray(rng.standard_normal(p).astype(np.float32))
+    x0 = jnp.zeros(p, jnp.float32)
+    precond = 1.0 / prior_prec_sqrt
+    key = jax.random.PRNGKey(0)
+    draws = {}
+    for mode in ('0', '1'):
+        monkeypatch.setenv('BB_FUSED_NE', mode)
+        assert (design.fused_ne_mode() is not None) == (mode == '1')
+        coef, info = sample_gaussian_cg(
+            key, design, obs_prec, prior_prec_sqrt, z, x0, precond)
+        assert bool(info['cg_converged'])
+        draws[mode] = np.asarray(coef)
+    np.testing.assert_allclose(draws['1'], draws['0'], rtol=5e-3,
+                               atol=5e-3 * np.abs(draws['0']).max())
