@@ -75,6 +75,57 @@ def bench_case(name, design, stored_gb, reps, chain, jax, jnp):
     return t_comp / t_fused
 
 
+def bench_presolve(name, design, stored_gb, reps, chain, jax, jnp):
+    """Time the three pre-solve reductions (collapsed obs Tdot, noise
+    Tdot, Jacobi diagonal) fused vs composed. Serialization between
+    chain steps rides a zero-valued scalar folded into u1 (no extra
+    design passes)."""
+    import os
+    from functools import partial
+    n, p = design.shape
+    rng = np.random.default_rng(5)
+    u1 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    u2 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    w = jnp.asarray(rng.exponential(size=n).astype(np.float32) + .1)
+
+    def timer():
+        @partial(jax.jit)
+        def run(u1, u2, w):
+            def body(carry, _):
+                v, pert, diag = design.presolve_reductions(
+                    u1 + carry, u2, w)
+                # Tiny but structurally nonzero factor: 0.0 would let
+                # the algebraic simplifier cut the dependency and CSE
+                # every scan iteration into one.
+                dep = 1e-20 * (jnp.sum(v) + jnp.sum(pert) + jnp.sum(diag))
+                return dep, 0.
+            dep, _ = jax.lax.scan(body, 0.0, None, length=chain)
+            return dep
+        float(run(u1, u2, w))
+        times = []
+        for _ in range(reps):
+            tic = time.time()
+            float(run(u1, u2, w))
+            times.append((time.time() - tic) / chain)
+        return float(np.median(times))
+
+    os.environ['BB_FUSED_NE'] = '0'
+    t_comp = timer()
+    os.environ['BB_FUSED_NE'] = 'auto'
+    t_fused = timer()
+    os.environ['BB_FUSED_NE'] = '0'
+    ref = design.presolve_reductions(u1, u2, w)
+    os.environ['BB_FUSED_NE'] = 'auto'
+    got = design.presolve_reductions(u1, u2, w)
+    err = max(float(np.max(np.abs(np.asarray(g) - np.asarray(r)))
+                    / (np.abs(np.asarray(r)).max() + 1e-30))
+              for g, r in zip(got, ref))
+    print(f"{name:>8} {stored_gb:9.3f} {t_comp * 1e3:11.2f} "
+          f"{t_fused * 1e3:10.2f} {t_comp / t_fused:7.2f}x "
+          f"{3 * stored_gb / t_comp:8.0f} {stored_gb / t_fused:9.0f} "
+          f"{err:9.1e}")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--n', type=int, default=100_000)
@@ -102,6 +153,8 @@ def main():
         gb = (design.X_exact.size * design.X_exact.dtype.itemsize
               + design.X_float.size * 4) / 1e9
         bench_case('hybrid', design, gb, args.reps, args.chain, jax, jnp)
+        bench_presolve('pre-hyb', design, gb, args.reps, args.chain,
+                       jax, jnp)
         del design
 
     if args.case in ('dense', 'both'):

@@ -75,6 +75,17 @@ class AbstractDesignMatrix(abc.ABC):
         `quad_matvec` will use it, else None (the composed default)."""
         return None
 
+    def presolve_reductions(self, u1, u2, u3):
+        """The Gibbs step's three pre-solve design reductions in one
+        call: (Tdot(u1), Tdot(u2), fisher_diag(u3)) — the collapsed
+        observation, the CG b-vector noise, and the Jacobi
+        preconditioner diagonal (reference evaluates these as separate
+        CSR passes: reg_coef_sampler.py:60-103 + cg_sampler.py:140-143).
+        The default composes them; backends with dense-stored blocks
+        override it with a single-HBM-sweep kernel."""
+        return (self.Tdot(u1), self.Tdot(u2),
+                self.compute_fisher_info(u3, diag_only=True))
+
     # -- bookkeeping ---------------------------------------------------- #
 
     @property

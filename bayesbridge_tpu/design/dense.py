@@ -117,6 +117,22 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         self.Tdot_count += 1
         return out
 
+    def presolve_reductions(self, u1, u2, u3):
+        """(Tdot(u1), Tdot(u2), fisher_diag(u3)) in ONE sweep of the
+        stored matrix via the fused reduction kernel (design/fusedne.py
+        fused_tdots); intercept/centering are already materialized in X
+        so the kernel outputs need no corrections."""
+        interpret = self.fused_ne_mode()
+        if interpret is None:
+            return super().presolve_reductions(u1, u2, u3)
+        f32 = jnp.float32
+        (o1, o2, _, sq), = fusedne.fused_tdots(
+            (self.X[:self._n_rows],), jnp.asarray(u1, f32),
+            jnp.asarray(u2, f32), jnp.asarray(u3, f32),
+            interpret=interpret)
+        self.Tdot_count += 2
+        return o1, o2, sq
+
     def compute_fisher_info(self, weight, diag_only=False):
         weight = self._pad_obs(jnp.asarray(weight, self.X.dtype))
         if diag_only:

@@ -216,6 +216,106 @@ def _run(blocks, c, w, interpret):
             for o, (X, _) in zip(outs[:-1], blocks)], u
 
 
+def _tdots_kernel(*refs, n_blocks, n_rows, meta):
+    """Pre-solve reduction kernel: per block, four transpose reductions
+    off ONE panel read — X'u1, X'u2, X'u3 and (X∘X)'u3. The square is
+    a VPU multiply on the already-loaded chunk, so the Jacobi
+    preconditioner's second column moment costs no extra HBM."""
+    x_refs = refs[:n_blocks]
+    u_refs = refs[n_blocks:n_blocks + 3]
+    out_refs = refs[n_blocks + 3:]
+    i = pl.program_id(0)
+    r = x_refs[0].shape[0]
+    f32 = jnp.float32
+    row = i * r + jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    us = [u_ref[:] for u_ref in u_refs]
+
+    for b in range(n_blocks):
+        n_full, rem, float_pad = meta[b]
+        x_ref = x_refs[b]
+        outs = out_refs[4 * b:4 * b + 4]
+
+        @pl.when(i == 0)
+        def _(outs=outs):
+            for o in outs:
+                o[:] = jnp.zeros_like(o)
+
+        def body(k, carry, x_ref=x_ref, outs=outs, float_pad=float_pad):
+            off = pl.multiple_of(k * _CHUNK, _CHUNK)
+            xk = x_ref[:, pl.ds(off, _CHUNK)].astype(f32)
+            if float_pad:
+                # NaN bits in undefined padded ROWS would poison every
+                # column sum through 0 * NaN; select them away.
+                xk = jnp.where(row < n_rows, xk, 0.0)
+            for o, u in zip(outs[:3], us):
+                o[:, pl.ds(off, _CHUNK)] += jnp.sum(xk * u, axis=0,
+                                                    keepdims=True)
+            outs[3][:, pl.ds(off, _CHUNK)] += jnp.sum(
+                xk * xk * us[2], axis=0, keepdims=True)
+            return carry
+
+        jax.lax.fori_loop(0, n_full + (1 if rem else 0), body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def fused_tdots(Xs, u1, u2, u3, interpret=False):
+    """One sweep of the stored blocks computing, per block,
+    (X'u1, X'u2, X'u3, (X∘X)'u3) — the Gibbs step's pre-solve
+    reductions: the collapsed-observation Tdot, the b-vector noise
+    Tdot, the weighted column sums, and the Jacobi-preconditioner
+    second moment (reference does these as separate CSR passes,
+    cg_sampler.py:140-143 + reg_coef_sampler.py:60-103).
+
+    Parameters
+    ----------
+    Xs : tuple of (n, p_b) blocks sharing the row axis
+    u1, u2, u3 : (n,) vectors
+
+    Returns a list of 4-tuples of (p_b,) f32 vectors, one per block.
+    """
+    n = Xs[0].shape[0]
+    n_blocks = len(Xs)
+    r, grid, plans = plan(n, [(X.shape[1], X.dtype) for X in Xs])
+    f32 = jnp.float32
+    n_pad = grid * r
+    u_pads = [jnp.zeros((n_pad, 1), f32).at[:n, 0].set(u.astype(f32))
+              for u in (u1, u2, u3)]
+    meta = tuple(
+        (n_full, rem, bool(jnp.issubdtype(X.dtype, jnp.floating)))
+        for X, (_, n_full, rem) in zip(Xs, plans))
+    kernel = functools.partial(_tdots_kernel, n_blocks=n_blocks,
+                               n_rows=n, meta=meta)
+    x_specs = [pl.BlockSpec((r, p_pad), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+               for p_pad, _, _ in plans]
+    col_spec = pl.BlockSpec((r, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs, out_shapes = [], []
+    for p_pad, _, _ in plans:
+        out_specs += [pl.BlockSpec((1, p_pad), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)] * 4
+        out_shapes += [jax.ShapeDtypeStruct((1, p_pad), f32)] * 4
+    stored_bytes = sum(X.size * X.dtype.itemsize for X in Xs)
+    x64_off = jax.enable_x64(False) if not interpret \
+        else contextlib.nullcontext()
+    with x64_off:
+        outs = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=x_specs + [col_spec] * 3,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            cost_estimate=pl.CostEstimate(
+                flops=10 * n * sum(X.shape[1] for X in Xs),
+                bytes_accessed=stored_bytes + 4 * (
+                    4 * sum(p for p, _, _ in plans) + 3 * n_pad),
+                transcendentals=0),
+            interpret=interpret,
+        )(*Xs, *u_pads)
+    return [tuple(o[0, :X.shape[1]] for o in outs[4 * b:4 * b + 4])
+            for b, X in enumerate(Xs)]
+
+
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def fused_ne_matvec(X, v, c, w, interpret=False):
     """(out, u) with u = w * (X v + c) and out = X' u, reading the

@@ -959,6 +959,49 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         self.Tdot_count += 1
         return result
 
+    def presolve_reductions(self, u1, u2, u3):
+        """(Tdot(u1), Tdot(u2), fisher_diag(u3)) in ONE sweep of the
+        hybrid blocks via the fused reduction kernel
+        (design/fusedne.py fused_tdots); the intercept, centering, and
+        squared-column-moment corrections are assembled from the
+        kernel's per-block outputs exactly as main_Tdot /
+        compute_fisher_diag do."""
+        interpret = self.fused_ne_mode()
+        if interpret is None:
+            return super().presolve_reductions(u1, u2, u3)
+        n, p_main = self._shape_main
+        u1 = jnp.asarray(u1, self.dtype)
+        u2 = jnp.asarray(u2, self.dtype)
+        u3 = jnp.asarray(u3, self.dtype)
+        has_float = bool(self.float_cols.size)
+        Xs = (self.X_exact[:n], self.X_float[:n]) if has_float \
+            else (self.X_exact[:n],)
+        outs = fusedne.fused_tdots(Xs, u1, u2, u3, interpret=interpret)
+
+        def assemble(idx):
+            res = jnp.zeros(p_main, self.dtype)
+            res = res.at[self.exact_cols].set(
+                outs[0][idx][:self.exact_cols.shape[0]])
+            if has_float:
+                res = res.at[self.float_cols].set(
+                    outs[1][idx][:self.float_cols.shape[0]])
+            return res
+
+        sums = [jnp.sum(u) for u in (u1, u2, u3)]
+        v = assemble(0) - sums[0] * self.column_offset
+        pert = assemble(1) - sums[1] * self.column_offset
+        diag = assemble(3)
+        if self.centered:
+            wcol = assemble(2)  # raw X' u3 per main column (no offset)
+            diag = diag - 2.0 * self.column_offset * wcol
+            diag = diag + sums[2] * self.column_offset ** 2
+        if self.intercept_added:
+            v = jnp.concatenate((sums[0][None], v))
+            pert = jnp.concatenate((sums[1][None], pert))
+            diag = jnp.concatenate((sums[2][None], diag))
+        self.Tdot_count += 2
+        return v, pert, diag
+
     def dot(self, v):
         memo = self._check_memo(v)
         if memo is not None:

@@ -49,20 +49,28 @@ def choose_diag_preconditioner(design, obs_prec, prior_prec_sqrt):
 
 
 def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
-                       coef_cg_init, precond_scale, maxiter=500, atol=1e-6):
+                       coef_cg_init, precond_scale, maxiter=500, atol=1e-6,
+                       perturbation=None):
     """One CG-sampled draw.
+
+    `perturbation` (optional): the precomputed b-vector noise
+    X'(sqrt(obs_prec) eps_1) + prior_prec_sqrt * eps_2. The caller that
+    supplies it must draw eps_1/eps_2 from `key` with the same
+    split/shape order as below (reg_coef.py does, so the fused
+    pre-solve path samples the identical Gaussian); when omitted the
+    noise is drawn here.
 
     Returns (coef, info) with info = {'n_iter', 'converged'} as traced
     scalars.
     """
     dtype = z.dtype
     n_obs, n_pred = design.shape
-    k1, k2 = jax.random.split(key)
-    eps_obs = jax.random.normal(k1, (n_obs,), dtype)
-    eps_prior = jax.random.normal(k2, (n_pred,), dtype)
-
-    perturbation = design.Tdot(jnp.sqrt(obs_prec) * eps_obs) \
-        + prior_prec_sqrt * eps_prior
+    if perturbation is None:
+        k1, k2 = jax.random.split(key)
+        eps_obs = jax.random.normal(k1, (n_obs,), dtype)
+        eps_prior = jax.random.normal(k2, (n_pred,), dtype)
+        perturbation = design.Tdot(jnp.sqrt(obs_prec) * eps_obs) \
+            + prior_prec_sqrt * eps_prior
     b = precond_scale * (z + perturbation)
 
     precond_prior_prec = (precond_scale * prior_prec_sqrt) ** 2

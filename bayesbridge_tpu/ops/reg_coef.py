@@ -31,7 +31,6 @@ def sample_gaussian_posterior(
     """
     n_unshrunk = len(prior_sd_for_unshrunk)
     dtype = y_gauss.dtype
-    v = design.Tdot(obs_prec * y_gauss)
     prior_shrunk_scale = compute_prior_shrunk_scale(gscale, lscale, slab_size)
     prior_sd = jnp.concatenate((
         jnp.asarray(prior_sd_for_unshrunk, dtype), prior_shrunk_scale
@@ -39,6 +38,7 @@ def sample_gaussian_posterior(
     prior_prec_sqrt = 1.0 / prior_sd
 
     if method == 'cholesky':
+        v = design.Tdot(obs_prec * y_gauss)
         coef = sample_gaussian_cholesky(
             key, design, obs_prec, prior_prec_sqrt, v)
         return coef, summ_state, {}
@@ -46,18 +46,46 @@ def sample_gaussian_posterior(
     if method == 'cg':
         coef_init = extrapolate_coef_condmean(
             summ_state, gscale, lscale, n_unshrunk, slab_size)
-        if cg_precond_by == 'diag':
-            precond_scale = choose_diag_preconditioner(
-                design, obs_prec, prior_prec_sqrt)
+        # The b-vector noise is drawn HERE (same key split/shape/dtype
+        # order as sample_gaussian_cg's internal draw) so the three
+        # pre-solve design reductions — collapsed observation, noise
+        # Tdot, Jacobi diagonal — can go through presolve_reductions,
+        # which fused backends serve with ONE stored-block sweep
+        # (design/fusedne.py fused_tdots); elsewhere the composed
+        # expressions are kept bitwise-identical to the unfused layout.
+        n_obs = design.shape[0]
+        k1, k2 = jax.random.split(key)
+        if cg_precond_by == 'diag' and design.fused_ne_mode() is not None:
+            # Eligibility implies an f32 design, which is the dtype the
+            # composed path's Tdot output (and thus its eps draw) has.
+            eps_dtype = jnp.float32
+            eps_obs = jax.random.normal(k1, (n_obs,), eps_dtype)
+            eps_prior = jax.random.normal(
+                k2, (design.shape[1],), eps_dtype)
+            v, pert, fisher_diag = design.presolve_reductions(
+                obs_prec * y_gauss, jnp.sqrt(obs_prec) * eps_obs,
+                obs_prec)
+            precond_scale = 1.0 / jnp.sqrt(
+                prior_prec_sqrt ** 2 + fisher_diag)
         else:
-            coef_sd = estimate_coef_precond_scale_sd(summ_state)
-            precond_scale = choose_preconditioner(
-                prior_prec_sqrt, n_unshrunk, coef_sd)
+            v = design.Tdot(obs_prec * y_gauss)
+            eps_obs = jax.random.normal(k1, (n_obs,), v.dtype)
+            eps_prior = jax.random.normal(
+                k2, (design.shape[1],), v.dtype)
+            pert = design.Tdot(jnp.sqrt(obs_prec) * eps_obs)
+            if cg_precond_by == 'diag':
+                precond_scale = choose_diag_preconditioner(
+                    design, obs_prec, prior_prec_sqrt)
+            else:
+                coef_sd = estimate_coef_precond_scale_sd(summ_state)
+                precond_scale = choose_preconditioner(
+                    prior_prec_sqrt, n_unshrunk, coef_sd)
         coef, info = sample_gaussian_cg(
             key, design, obs_prec, prior_prec_sqrt, v,
             coef_cg_init=coef_init, precond_scale=precond_scale,
             maxiter=cg_maxiter,
             atol=1e-5 * np.sqrt(design.shape[1]),
+            perturbation=pert + prior_prec_sqrt * eps_prior,
         )
         summ_state = summarizer_update(
             summ_state, coef, gscale, lscale, n_unshrunk, slab_size)

@@ -110,15 +110,16 @@ def roofline(design, mean_cg_iter, iters_per_sec):
     b-vector noise (1 Tdot), the Jacobi preconditioner diagonal
     (1 pass), the Polya-Gamma linear predictor (1 dot) and the
     log-density (1 dot, usually CSE'd with the former). Each operator
-    application is a dot+Tdot pair — EXCEPT when the fused
-    normal-equations kernel is active (design/fusedne.py), which sweeps
-    BOTH hybrid blocks once per application. Vector traffic is
-    negligible at these shapes.
+    application is a dot+Tdot pair — EXCEPT when the fused kernels are
+    active (design/fusedne.py): quad_matvec sweeps BOTH hybrid blocks
+    once per application, and presolve_reductions folds the collapsed
+    observation + noise Tdot + Jacobi diagonal into one more sweep.
+    Vector traffic is negligible at these shapes.
     """
     total_bytes = design_storage_bytes(design)
     n_ops = mean_cg_iter + 1.0      # operator applications in the solve
     if design.fused_ne_mode() is not None:
-        passes = n_ops + 5.0
+        passes = n_ops + 3.0
     else:
         passes = 2.0 * n_ops + 5.0
     bytes_per_iter = passes * total_bytes

@@ -193,6 +193,82 @@ def test_dense_quad_matvec_matches_composed(monkeypatch, centered):
                                atol=2e-4 * np.abs(composed).max())
 
 
+@pytest.mark.parametrize('centered', [False, True])
+@pytest.mark.parametrize('intercept', [False, True])
+@pytest.mark.parametrize('binary_only', [False, True])
+def test_presolve_reductions_match_composed(monkeypatch, centered,
+                                            intercept, binary_only):
+    """fused_tdots-backed presolve must reproduce (Tdot, Tdot,
+    fisher_diag) including intercept/centering corrections."""
+    design, _ = _mixed_design(monkeypatch, centered=centered,
+                              intercept=intercept,
+                              binary_only=binary_only)
+    rng = np.random.default_rng(17)
+    n, p = design.shape
+    u1 = rng.standard_normal(n).astype(np.float32)
+    u2 = rng.standard_normal(n).astype(np.float32)
+    w = rng.exponential(size=n).astype(np.float32)
+    monkeypatch.setenv('BB_FUSED_NE', '0')
+    ref = design.presolve_reductions(u1, u2, w)
+    monkeypatch.setenv('BB_FUSED_NE', '1')
+    assert design.fused_ne_mode() is not None
+    got = design.presolve_reductions(u1, u2, w)
+    for g, r in zip(got, ref):
+        r = np.asarray(r)
+        np.testing.assert_allclose(np.asarray(g), r, rtol=2e-4,
+                                   atol=2e-4 * np.abs(r).max())
+
+
+def test_dense_presolve_reductions_match_composed(monkeypatch):
+    from bayesbridge_tpu.design.dense import DenseDesignMatrix
+    rng = np.random.default_rng(19)
+    X = rng.standard_normal((41, 13))
+    design = DenseDesignMatrix(X, center_predictor=True,
+                               add_intercept=True, dtype=np.float32)
+    n, p = design.shape
+    u1 = rng.standard_normal(n).astype(np.float32)
+    u2 = rng.standard_normal(n).astype(np.float32)
+    w = rng.exponential(size=n).astype(np.float32)
+    monkeypatch.setenv('BB_FUSED_NE', '0')
+    ref = design.presolve_reductions(u1, u2, w)
+    monkeypatch.setenv('BB_FUSED_NE', '1')
+    assert design.fused_ne_mode() is not None
+    got = design.presolve_reductions(u1, u2, w)
+    for g, r in zip(got, ref):
+        r = np.asarray(r)
+        np.testing.assert_allclose(np.asarray(g), r, rtol=2e-4,
+                                   atol=2e-4 * np.abs(r).max())
+
+
+def test_posterior_draw_agrees_with_unfused(monkeypatch):
+    """A full coefficient draw through sample_gaussian_posterior (the
+    Gibbs step's facade, diag preconditioner) with the fused pre-solve
+    + fused CG operator agrees with the composed path: the noise is
+    drawn from the same key split, so only solver/kernel rounding
+    differs."""
+    from bayesbridge_tpu.ops.reg_coef import sample_gaussian_posterior
+    from bayesbridge_tpu.ops.summarizer import summarizer_init
+    design, _ = _mixed_design(monkeypatch, n=60)
+    rng = np.random.default_rng(23)
+    n, p = design.shape
+    y_gauss = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    obs_prec = jnp.asarray(rng.exponential(size=n).astype(np.float32))
+    gscale = jnp.asarray(0.5, jnp.float32)
+    lscale = jnp.asarray(
+        rng.uniform(0.5, 2.0, size=p - 1).astype(np.float32))
+    summ = summarizer_init(p, jnp.float32)
+    draws = {}
+    for mode in ('0', '1'):
+        monkeypatch.setenv('BB_FUSED_NE', mode)
+        coef, _, info = sample_gaussian_posterior(
+            jax.random.PRNGKey(3), design, y_gauss, obs_prec, gscale,
+            lscale, np.asarray([2.0], np.float32), 2.0, summ, 'cg')
+        assert bool(info['cg_converged'])
+        draws[mode] = np.asarray(coef)
+    np.testing.assert_allclose(draws['1'], draws['0'], rtol=5e-3,
+                               atol=5e-3 * np.abs(draws['0']).max())
+
+
 def test_cg_draw_agrees_with_unfused(monkeypatch):
     """One CG Gaussian draw through ops/cg.py with the fused operator
     agrees with the composed operator to solver tolerance."""
