@@ -381,7 +381,22 @@ def main():
 
     X, outcome = build_data(n_obs, n_pred)
 
-    tpu_rate, tpu_info = time_tpu(X, outcome, n_iter_tpu)
+    try:
+        tpu_rate, tpu_info = time_tpu(X, outcome, n_iter_tpu)
+    except Exception as e:
+        if os.environ.get('BB_FUSED_NE', 'auto') == '0':
+            raise
+        # Benchmark must survive a fused-kernel failure (e.g. a Mosaic
+        # regression at full scale): fall back to the composed matvec
+        # path once, and record why.
+        import traceback
+        import jax
+        print('# fused-path bench failed; retrying composed:',
+              traceback.format_exc()[-800:], file=sys.stderr)
+        os.environ['BB_FUSED_NE'] = '0'
+        jax.clear_caches()
+        tpu_rate, tpu_info = time_tpu(X, outcome, n_iter_tpu)
+        tpu_info['fused_ne_fallback'] = f'{type(e).__name__}: {str(e)[:200]}'
     np_rate, np_info = time_baseline(X, outcome, n_iter_np)
 
     if os.environ.get('BB_BENCH_MULTICHAIN', '1') != '0':

