@@ -75,6 +75,12 @@ class AbstractDesignMatrix(abc.ABC):
         `quad_matvec` will use it, else None (the composed default)."""
         return None
 
+    def fused_link_grad(self, v, a, b, mid):
+        """GLM loglik + gradient in one sweep where a fused kernel
+        serves this design; None = caller uses its composed
+        expressions."""
+        return None
+
     def presolve_reductions(self, u1, u2, u3):
         """The Gibbs step's three pre-solve design reductions in one
         call: (Tdot(u1), Tdot(u2), fisher_diag(u3)) — the collapsed

@@ -117,6 +117,22 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         self.Tdot_count += 1
         return out
 
+    def fused_link_grad(self, v, a, b, mid):
+        """GLM loglik + gradient in ONE sweep of the stored matrix
+        (design/fusedne.py fused_link_matvec); None when ineligible."""
+        interpret = self.fused_ne_mode()
+        if interpret is None:
+            return None
+        f32 = jnp.float32
+        n = self._n_rows
+        outs, u, logp = fusedne.fused_link_matvec(
+            (self.X[:n],), (jnp.asarray(v, f32),),
+            None, jnp.asarray(a, f32), jnp.asarray(b, f32), mid,
+            with_logp=True, interpret=interpret)
+        self.dot_count += 1
+        self.Tdot_count += 1
+        return logp, outs[0]
+
     def presolve_reductions(self, u1, u2, u3):
         """(Tdot(u1), Tdot(u2), fisher_diag(u3)) in ONE sweep of the
         stored matrix via the fused reduction kernel (design/fusedne.py

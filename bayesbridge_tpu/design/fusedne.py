@@ -91,18 +91,28 @@ def plan(n, widths_dtypes):
     return r, grid, blocks
 
 
-def _ne_kernel(*refs, n_blocks, n_rows, meta):
+def _ne_kernel(*refs, n_blocks, n_rows, meta, mid='ne', with_logp=False):
     """`meta[b] = (n_full, rem, float_pad)` (static): when the stored
     dtype is a float type, undefined block-padding bits can be NaN/Inf
     and `0 * garbage` does NOT vanish — ragged lane tails (phase A) and
     ragged row panels (phase B) must be masked. Integer-stored blocks
     skip both masks: any bit pattern is a finite integer and the
-    zero-padded operands annihilate it."""
+    zero-padded operands annihilate it.
+
+    `mid` (static) picks the per-row map from t_eff = (X v + c) and the
+    row operands (a, b) to the phase-B vector u:
+      'ne'     : u = b * t_eff                (the CG operator; a unused)
+      'logit'  : u = a - b * sigmoid(t_eff)   (logistic score)
+      'linear' : u = b * (a - t_eff)          (Gaussian score)
+    `with_logp` additionally accumulates the matching log-likelihood
+    rows into a (1, 1) output — the GLM loglik+gradient in one sweep.
+    """
     x_refs = refs[:n_blocks]
     v_refs = refs[n_blocks:2 * n_blocks]
-    c_ref, w_ref = refs[2 * n_blocks:2 * n_blocks + 2]
-    out_refs = refs[2 * n_blocks + 2:3 * n_blocks + 2]
-    u_ref = refs[3 * n_blocks + 2]
+    c_ref, a_ref, b_ref = refs[2 * n_blocks:2 * n_blocks + 3]
+    out_refs = refs[2 * n_blocks + 3:3 * n_blocks + 3]
+    u_ref = refs[3 * n_blocks + 3]
+    lp_ref = refs[3 * n_blocks + 4] if with_logp else None
     i = pl.program_id(0)
     r = x_refs[0].shape[0]
     f32 = jnp.float32
@@ -132,11 +142,34 @@ def _ne_kernel(*refs, n_blocks, n_rows, meta):
                 xk * v_ref[:, n_full * _CHUNK:(n_full + 1) * _CHUNK],
                 axis=1, keepdims=True)
 
-    u = w_ref[:] * (t + c_ref[:])
+    t_eff = t + c_ref[:]
+    a, b = a_ref[:], b_ref[:]
+    lp = None
+    if mid == 'ne':
+        u = b * t_eff
+    elif mid == 'logit':
+        u = a - b * jax.nn.sigmoid(t_eff)
+        if with_logp:
+            # y*t - n*log(1 + e^t), the softplus written stably.
+            lp = a * t_eff - b * (jnp.maximum(t_eff, 0.0)
+                                  + jnp.log1p(jnp.exp(-jnp.abs(t_eff))))
+    elif mid == 'linear':
+        resid = a - t_eff
+        u = b * resid
+        if with_logp:
+            lp = -0.5 * b * resid * resid
+    else:
+        raise ValueError(mid)
     # Rows past n_rows carry garbage t; jnp.where SELECTS (discards the
-    # garbage) where a multiply by the zero-padded w would keep NaN.
+    # garbage) where a multiply by the zero-padded operands would keep
+    # NaN.
     u = jnp.where(row < n_rows, u, 0.0)
     u_ref[:] = u
+    if with_logp:
+        @pl.when(i == 0)
+        def _():
+            lp_ref[:] = jnp.zeros_like(lp_ref)
+        lp_ref[0, 0] += jnp.sum(jnp.where(row < n_rows, lp, 0.0))
 
     for b in range(n_blocks):
         n_full, rem, float_pad = meta[b]
@@ -161,9 +194,11 @@ def _ne_kernel(*refs, n_blocks, n_rows, meta):
         jax.lax.fori_loop(0, n_full + (1 if rem else 0), body_b, 0)
 
 
-def _run(blocks, c, w, interpret):
+def _run(blocks, c, a, b, interpret, mid='ne', with_logp=False):
     """Shared driver: blocks = [(X_b, v_b)], row-aligned. Returns
-    ([out_b], u) with u = w * (sum_b X_b v_b + c), out_b = X_b' u."""
+    ([out_b], u, logp) with u = mid(sum_b X_b v_b + c; a, b),
+    out_b = X_b' u, and logp the accumulated log-likelihood rows (None
+    unless with_logp). c/a/b may be None (zeros)."""
     n = blocks[0][0].shape[0]
     n_blocks = len(blocks)
     r, grid, plans = plan(n, [(X.shape[1], X.dtype) for X, _ in blocks])
@@ -171,13 +206,19 @@ def _run(blocks, c, w, interpret):
     n_pad = grid * r
     v_pads = [jnp.zeros((1, p_pad), f32).at[0, :X.shape[1]].set(
         v.astype(f32)) for (X, v), (p_pad, _, _) in zip(blocks, plans)]
-    c_pad = jnp.zeros((n_pad, 1), f32).at[:n, 0].set(c.astype(f32))
-    w_pad = jnp.zeros((n_pad, 1), f32).at[:n, 0].set(w.astype(f32))
+
+    def col_pad(x):
+        if x is None:
+            return jnp.zeros((n_pad, 1), f32)
+        return jnp.zeros((n_pad, 1), f32).at[:n, 0].set(x.astype(f32))
+
+    c_pad, a_pad, b_pad = col_pad(c), col_pad(a), col_pad(b)
     meta = tuple(
         (n_full, rem, bool(jnp.issubdtype(X.dtype, jnp.floating)))
         for (X, _), (_, n_full, rem) in zip(blocks, plans))
     kernel = functools.partial(_ne_kernel, n_blocks=n_blocks,
-                               n_rows=n, meta=meta)
+                               n_rows=n, meta=meta, mid=mid,
+                               with_logp=with_logp)
     x_specs = [pl.BlockSpec((r, p_pad), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
                for p_pad, _, _ in plans]
@@ -191,6 +232,12 @@ def _run(blocks, c, w, interpret):
                  for p_pad, _, _ in plans]
     out_shapes = [jax.ShapeDtypeStruct((1, p_pad), f32)
                   for p_pad, _, _ in plans]
+    extra_specs = [col_spec]
+    extra_shapes = [jax.ShapeDtypeStruct((n_pad, 1), f32)]
+    if with_logp:
+        extra_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM))
+        extra_shapes.append(jax.ShapeDtypeStruct((1, 1), f32))
     stored_bytes = sum(X.size * X.dtype.itemsize for X, _ in blocks)
     # Index maps / iota canonicalize to 64-bit under jax_enable_x64,
     # which Mosaic cannot legalize; all operands here are <= 32-bit.
@@ -200,20 +247,21 @@ def _run(blocks, c, w, interpret):
         outs = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=x_specs + v_specs + [col_spec, col_spec],
-            out_specs=tuple(out_specs) + (col_spec,),
-            out_shape=tuple(out_shapes)
-            + (jax.ShapeDtypeStruct((n_pad, 1), f32),),
+            in_specs=x_specs + v_specs + [col_spec] * 3,
+            out_specs=tuple(out_specs) + tuple(extra_specs),
+            out_shape=tuple(out_shapes) + tuple(extra_shapes),
             cost_estimate=pl.CostEstimate(
                 flops=4 * n * sum(X.shape[1] for X, _ in blocks),
                 bytes_accessed=stored_bytes + 4 * (
-                    sum(p for p, _, _ in plans) + 3 * n_pad),
-                transcendentals=0),
+                    sum(p for p, _, _ in plans) + 4 * n_pad),
+                transcendentals=n if mid == 'logit' else 0),
             interpret=interpret,
-        )(*[X for X, _ in blocks], *v_pads, c_pad, w_pad)
-    u = outs[-1][:n, 0]
+        )(*[X for X, _ in blocks], *v_pads, c_pad, a_pad, b_pad)
+    n_b = len(blocks)
+    u = outs[n_b][:n, 0]
+    lp = outs[n_b + 1][0, 0] if with_logp else None
     return [o[0, :X.shape[1]]
-            for o, (X, _) in zip(outs[:-1], blocks)], u
+            for o, (X, _) in zip(outs[:n_b], blocks)], u, lp
 
 
 def _tdots_kernel(*refs, n_blocks, n_rows, meta):
@@ -326,7 +374,7 @@ def fused_ne_matvec(X, v, c, w, interpret=False):
     X : (n, pe) int8 | bfloat16 | float32 device array
     v : (pe,) vector;  c, w : (n,) per-row offset and weight
     """
-    outs, u = _run([(X, v)], c, w, interpret)
+    outs, u, _ = _run([(X, v)], c, None, w, interpret)
     return outs[0], u
 
 
@@ -339,5 +387,23 @@ def fused_ne_matvec2(Xe, Xf, ve, vf, c, w, interpret=False):
     Xe, Xf share the row (observation) axis; dtypes may differ (int8 /
     bf16 exact block next to the f32 float block).
     """
-    outs, u = _run([(Xe, ve), (Xf, vf)], c, w, interpret)
+    outs, u, _ = _run([(Xe, ve), (Xf, vf)], c, None, w, interpret)
     return outs[0], outs[1], u
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('mid', 'with_logp', 'interpret'))
+def fused_link_matvec(Xs, vs, c, a, b, mid, with_logp=True,
+                      interpret=False):
+    """GLM score + log-likelihood in ONE sweep of the stored blocks:
+    with t = sum_b X_b v_b + c, computes u = link-score(t; a, b)
+    (see `_ne_kernel` for the 'logit' / 'linear' row maps), every
+    block's gradient contribution X_b' u, and (optionally) the summed
+    log-likelihood rows. The reference evaluates loglik+gradient as a
+    dot THEN a Tdot (two design passes, model/logistic_model.py:...);
+    HMC/NUTS leapfrog and the MAP search call this every step.
+
+    Returns ([out_b], u, logp).
+    """
+    return _run(list(zip(Xs, vs)), c, a, b, interpret, mid=mid,
+                with_logp=with_logp)

@@ -959,6 +959,50 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         self.Tdot_count += 1
         return result
 
+    def fused_link_grad(self, v, a, b, mid):
+        """GLM loglik + gradient in ONE sweep of the hybrid blocks:
+        (loglik, Tdot(u)) with u the `mid` link score of t = X v (see
+        design/fusedne.py). Returns None when the fused kernel is not
+        eligible — the model falls back to its composed dot-then-Tdot
+        expressions."""
+        interpret = self.fused_ne_mode()
+        if interpret is None:
+            return None
+        n, p_main = self._shape_main
+        v = jnp.asarray(v, self.dtype)
+        a = jnp.asarray(a, self.dtype)
+        b = jnp.asarray(b, self.dtype)
+        if self.intercept_added:
+            v0, v_main = v[0], v[1:]
+        else:
+            v0, v_main = jnp.zeros((), self.dtype), v
+        ve = self._pad1(jnp.take(v_main, self.exact_cols),
+                        self.X_exact.shape[1])
+        c_scalar = v0 - self.column_offset @ v_main
+        c_vec = jnp.full((n,), c_scalar, self.dtype)
+        if self.float_cols.size:
+            vf = self._pad1(jnp.take(v_main, self.float_cols),
+                            self.X_float.shape[1])
+            Xs, vs = (self.X_exact[:n], self.X_float[:n]), (ve, vf)
+        else:
+            Xs, vs = (self.X_exact[:n],), (ve,)
+        outs, u, logp = fusedne.fused_link_matvec(
+            Xs, vs, c_vec, a, b, mid, with_logp=True,
+            interpret=interpret)
+        sum_u = jnp.sum(u)
+        grad = jnp.zeros(p_main, self.dtype)
+        grad = grad.at[self.exact_cols].set(
+            outs[0][:self.exact_cols.shape[0]])
+        if self.float_cols.size:
+            grad = grad.at[self.float_cols].set(
+                outs[1][:self.float_cols.shape[0]])
+        grad = grad - sum_u * self.column_offset
+        if self.intercept_added:
+            grad = jnp.concatenate((sum_u[None], grad))
+        self.dot_count += 1
+        self.Tdot_count += 1
+        return logp, grad
+
     def presolve_reductions(self, u1, u2, u3):
         """(Tdot(u1), Tdot(u2), fisher_diag(u3)) in ONE sweep of the
         hybrid blocks via the fused reduction kernel

@@ -31,6 +31,15 @@ class LinearModel(AbstractModel):
         return obj
 
     def compute_loglik_and_gradient(self, beta, obs_prec, loglik_only=False):
+        if not loglik_only:
+            # Loglik + score in ONE design sweep on fused-eligible
+            # backends (design/fusedne.py).
+            fused = self.design.fused_link_grad(
+                beta, self.y,
+                jnp.full(self.y.shape, obs_prec, self.y.dtype), 'linear')
+            if fused is not None:
+                lp, grad = fused
+                return lp + 0.5 * self.y.size * jnp.log(obs_prec), grad
         resid = self.y - self.design.dot(beta)
         loglik = 0.5 * self.y.size * jnp.log(obs_prec) \
             - 0.5 * obs_prec * jnp.sum(resid ** 2)
@@ -42,7 +51,10 @@ class LinearModel(AbstractModel):
             jnp.ones(self.n_obs))
 
     def get_hessian_matvec_operator(self, beta, obs_prec):
-        return lambda v: -obs_prec * self.design.Tdot(self.design.dot(v))
+        # quad_matvec == Tdot(1 * dot(v)); fused backends serve it in
+        # one stored-block sweep.
+        ones = jnp.ones(self.n_obs, self.y.dtype)
+        return lambda v: -obs_prec * self.design.quad_matvec(v, ones)
 
     def calc_intercept_mle(self):
         return float(jnp.mean(self.y))

@@ -70,6 +70,14 @@ class LogisticModel(AbstractModel):
                 "Number of successes cannot be larger than that of trials.")
 
     def compute_loglik_and_gradient(self, beta, loglik_only=False):
+        if not loglik_only:
+            # Loglik + score in ONE design sweep on fused-eligible
+            # backends (design/fusedne.py) — every HMC/NUTS leapfrog
+            # step and MAP line search calls this.
+            fused = self.design.fused_link_grad(
+                beta, self.n_success, self.n_trial, 'logit')
+            if fused is not None:
+                return fused
         logit_prob = self.design.dot(beta)
         loglik = jnp.sum(
             self.n_success * logit_prob
@@ -90,7 +98,9 @@ class LogisticModel(AbstractModel):
     def get_hessian_matvec_operator(self, beta):
         prob = jax_sigmoid(self.design.dot(beta))
         weight = self.n_trial * prob * (1 - prob)
-        return lambda v: -self.design.Tdot(weight * self.design.dot(v))
+        # quad_matvec == Tdot(weight * dot(v)); fused backends serve it
+        # in one stored-block sweep.
+        return lambda v: -self.design.quad_matvec(v, weight)
 
     def calc_intercept_mle(self):
         p_mle = float(jnp.mean(self.n_success) / jnp.mean(self.n_trial))

@@ -269,6 +269,72 @@ def test_posterior_draw_agrees_with_unfused(monkeypatch):
                                atol=5e-3 * np.abs(draws['0']).max())
 
 
+@pytest.mark.parametrize('family', ['logit', 'linear'])
+def test_fused_loglik_gradient_matches_composed(monkeypatch, family):
+    """models.compute_loglik_and_gradient through the one-sweep link
+    kernel must match the composed dot-then-Tdot expressions (loglik
+    AND gradient) — the HMC/NUTS leapfrog and MAP-search hot path."""
+    from bayesbridge_tpu import RegressionModel
+    from bayesbridge_tpu.utils.simulate_data import (
+        simulate_design, simulate_outcome,
+    )
+    from bayesbridge_tpu.design import sparse as sparse_mod
+    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED', False)
+    rng = np.random.default_rng(29)
+    X = simulate_design(90, 14, binary_frac=.6, seed=8)
+    beta_true = np.zeros(14)
+    beta_true[:4] = 1.0
+    outcome = simulate_outcome(X, beta_true, family, seed=9)
+    model = RegressionModel(outcome, X, family=family, dtype=np.float32)
+    beta = jnp.asarray(rng.standard_normal(15).astype(np.float32) * .3)
+    args = (beta,) if family == 'logit' \
+        else (beta, jnp.asarray(1.7, jnp.float32))
+    monkeypatch.setenv('BB_FUSED_NE', '0')
+    lp0, g0 = model.compute_loglik_and_gradient(*args)
+    monkeypatch.setenv('BB_FUSED_NE', '1')
+    assert model.design.fused_ne_mode() is not None
+    lp1, g1 = model.compute_loglik_and_gradient(*args)
+    np.testing.assert_allclose(float(lp1), float(lp0), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=2e-4,
+                               atol=2e-4 * np.abs(np.asarray(g0)).max())
+
+
+def test_hmc_chain_with_fused_gradient(monkeypatch):
+    """A short HMC chain through the public API with the fused link
+    kernel stays finite and tracks the composed chain's posterior
+    location (same seed; trajectories diverge only by kernel
+    rounding)."""
+    from bayesbridge_tpu import (
+        BayesBridge, RegressionModel, RegressionCoefPrior,
+    )
+    from bayesbridge_tpu.utils.simulate_data import (
+        simulate_design, simulate_outcome,
+    )
+    from bayesbridge_tpu.design import sparse as sparse_mod
+    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED', False)
+    X = simulate_design(80, 10, binary_frac=.6, seed=10)
+    beta = np.zeros(10)
+    beta[:3] = 1.0
+    outcome = simulate_outcome(X, beta, 'logit', seed=11)
+    results = {}
+    for mode in ('0', '1'):
+        monkeypatch.setenv('BB_FUSED_NE', mode)
+        model = RegressionModel(outcome, X, family='logit',
+                                dtype=np.float32)
+        bridge = BayesBridge(model, RegressionCoefPrior(
+            bridge_exponent=.5, regularizing_slab_size=2.))
+        samples, _ = bridge.gibbs(
+            n_iter=15, n_burnin=5, seed=0, coef_sampler_type='hmc',
+            init={'coef': np.zeros(11), 'global_scale': 0.1,
+                  'local_scale': np.ones(10)},
+            params_to_save=('coef', 'logp'))
+        assert np.all(np.isfinite(np.asarray(samples['logp'])))
+        results[mode] = np.asarray(samples['coef']).mean(axis=1)
+    np.testing.assert_allclose(results['1'], results['0'], rtol=.5,
+                               atol=.5)
+
+
 def test_vmapped_chains_with_fused_kernels(monkeypatch):
     """multichain vmaps the Gibbs step over chains; the fused Pallas
     kernels must batch (pallas_call gains a leading grid axis under
