@@ -22,7 +22,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_gibbs():
+def _run_two_workers():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, 'tests', 'distributed_worker.py')
     port = _free_port()
@@ -44,6 +44,18 @@ def test_two_process_distributed_gibbs():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return procs, outs
+
+
+def test_two_process_distributed_gibbs():
+    # The coordinator rendezvous occasionally flakes on a loaded 1-core
+    # host (both workers must come up within gloo's connect window);
+    # one retry with a fresh port distinguishes an environmental race
+    # from a real regression.
+    for attempt in (0, 1):
+        procs, outs = _run_two_workers()
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, \
             f'worker {pid} failed:\n{out[-4000:]}'
