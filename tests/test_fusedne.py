@@ -300,6 +300,32 @@ def test_fused_loglik_gradient_matches_composed(monkeypatch, family):
                                atol=2e-4 * np.abs(np.asarray(g0)).max())
 
 
+def test_fused_logit_loglik_extreme_predictor(monkeypatch):
+    """The kernel's softplus is written stably (max(t,0) +
+    log1p(exp(-|t|))); saturated linear predictors (|t| ~ 60) must not
+    overflow to inf/NaN and must match the composed logaddexp form."""
+    from bayesbridge_tpu import RegressionModel
+    from bayesbridge_tpu.utils.simulate_data import (
+        simulate_design, simulate_outcome,
+    )
+    from bayesbridge_tpu.design import sparse as sparse_mod
+    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED', False)
+    X = simulate_design(60, 8, binary_frac=.6, seed=12)
+    beta_true = np.zeros(8)
+    outcome = simulate_outcome(X, beta_true, 'logit', seed=13)
+    model = RegressionModel(outcome, X, family='logit', dtype=np.float32)
+    beta = jnp.asarray(np.full(9, 20.0, np.float32))  # t up to ~60+
+    monkeypatch.setenv('BB_FUSED_NE', '0')
+    lp0, g0 = model.compute_loglik_and_gradient(beta)
+    monkeypatch.setenv('BB_FUSED_NE', '1')
+    lp1, g1 = model.compute_loglik_and_gradient(beta)
+    assert np.isfinite(float(lp1))
+    np.testing.assert_allclose(float(lp1), float(lp0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4,
+                               atol=1e-4 * np.abs(np.asarray(g0)).max())
+
+
 def test_hmc_chain_with_fused_gradient(monkeypatch):
     """A short HMC chain through the public API with the fused link
     kernel stays finite and tracks the composed chain's posterior
