@@ -186,6 +186,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         self.centered = center_predictor
         self._dense_cache = None
         self._hybrid_sharded = False
+        self._hybrid_shard = None
         if _parts is not None:  # pytree unflatten path
             (self.backend, self._shape_main, self._nnz,
              self.exact_is_binary, self._bitpack_meta,
@@ -666,14 +667,15 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                getattr(self, '_winell_meta', None),
                getattr(self, '_bitpack_shard', None),
                getattr(self, '_winell_shard', None),
-               getattr(self, '_hybrid_sharded', False))
+               getattr(self, '_hybrid_sharded', False),
+               getattr(self, '_hybrid_shard', None))
         return arrays, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (intercept_added, centered, backend, shape_main, nnz, binary,
          bitpack_meta, winell_meta, bitpack_shard, winell_shard,
-         hybrid_sharded) = aux
+         hybrid_sharded, hybrid_shard) = aux
         obj = cls(None, center_predictor=centered,
                   add_intercept=intercept_added,
                   _parts=((backend, shape_main, nnz, binary,
@@ -681,6 +683,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         obj._bitpack_shard = bitpack_shard
         obj._winell_shard = winell_shard
         obj._hybrid_sharded = hybrid_sharded
+        obj._hybrid_shard = hybrid_shard
         return obj
 
     # -- shape / metadata ------------------------------------------------ #
@@ -905,13 +908,49 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         keys its per-array pass counts on this."""
         interpret = fusedne.dispatch_mode()
         if (interpret is None or self.backend != 'hybrid'
-                or self._hybrid_sharded
+                or (self._hybrid_sharded and self._hybrid_shard is None)
                 or self.dtype != jnp.float32
                 or self.X_exact.dtype not in (jnp.int8, jnp.bfloat16,
                                               jnp.float32)
                 or self.exact_cols.size == 0):
             return None
         return interpret
+
+    def _fused_sharded_call(self, local_fn, row_vecs, rep_args, n_outs):
+        """Run a fused kernel per observation shard under shard_map
+        (1-d obs mesh, `_hybrid_shard`): `local_fn(Xe, Xf_or_None,
+        row_locals, rep_args)` returns a flat tuple of `n_outs`
+        p-length / scalar partials, each psum-reduced over the mesh
+        axis (ICI collectives on a pod). Row vectors of true length n
+        are zero-padded to the mesh-padded row count — the padded rows
+        of the stored blocks are genuine zeros, so they contribute
+        nothing to any reduction."""
+        from jax.sharding import PartitionSpec as P
+        mesh, ax = self._hybrid_shard
+        n = self._shape_main[0]
+        n_pad = self.X_exact.shape[0]
+        pads = tuple(jnp.zeros(n_pad, self.dtype).at[:n].set(u)
+                     for u in row_vecs)
+        has_float = bool(self.float_cols.size)
+        n_rows = len(pads)
+
+        if has_float:
+            def wrapped(Xe, Xf, *rest):
+                outs = local_fn(Xe, Xf, rest[:n_rows], rest[n_rows:])
+                return tuple(jax.lax.psum(o, ax) for o in outs)
+            in_specs = (P(ax, None), P(ax, None)) \
+                + (P(ax),) * n_rows + (P(),) * len(rep_args)
+            args = (self.X_exact, self.X_float) + pads + tuple(rep_args)
+        else:
+            def wrapped(Xe, *rest):
+                outs = local_fn(Xe, None, rest[:n_rows], rest[n_rows:])
+                return tuple(jax.lax.psum(o, ax) for o in outs)
+            in_specs = (P(ax, None),) \
+                + (P(ax),) * n_rows + (P(),) * len(rep_args)
+            args = (self.X_exact,) + pads + tuple(rep_args)
+        f = jax.shard_map(wrapped, mesh=mesh, in_specs=in_specs,
+                          out_specs=(P(),) * n_outs, check_vma=False)
+        return f(*args)
 
     def quad_matvec(self, v, weight):
         """X' (weight * (X v)) — the CG operator's design part
@@ -935,17 +974,37 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         ve = self._pad1(jnp.take(v_main, self.exact_cols),
                         self.X_exact.shape[1])
         c_scalar = v0 - self.column_offset @ v_main
-        c_vec = jnp.full((n,), c_scalar, self.dtype)
-        if self.float_cols.size:
-            vf = self._pad1(jnp.take(v_main, self.float_cols),
-                            self.X_float.shape[1])
-            out_e, out_f, u = fusedne.fused_ne_matvec2(
-                self.X_exact[:n], self.X_float[:n], ve, vf, c_vec,
-                weight, interpret=interpret)
+        has_float = bool(self.float_cols.size)
+        vf = self._pad1(jnp.take(v_main, self.float_cols),
+                        self.X_float.shape[1]) if has_float else None
+        if self._hybrid_shard is not None:
+            def local(Xe, Xf, rows, reps):
+                (w_l,), (ve_r, *vf_r_c) = rows, reps
+                c_vec = jnp.full((Xe.shape[0],), vf_r_c[-1], self.dtype)
+                if Xf is not None:
+                    oe, of, u = fusedne.fused_ne_matvec2(
+                        Xe, Xf, ve_r, vf_r_c[0], c_vec, w_l,
+                        interpret=interpret)
+                    return oe, of, jnp.sum(u)
+                oe, u = fusedne.fused_ne_matvec(
+                    Xe, ve_r, c_vec, w_l, interpret=interpret)
+                return oe, jnp.sum(u)
+            reps = (ve, vf, c_scalar) if has_float else (ve, c_scalar)
+            outs = self._fused_sharded_call(
+                local, (weight,), reps, 3 if has_float else 2)
+            out_e, out_f = outs[0], outs[1] if has_float else None
+            sum_u = outs[-1]
         else:
-            out_e, u = fusedne.fused_ne_matvec(
-                self.X_exact[:n], ve, c_vec, weight, interpret=interpret)
-        sum_u = jnp.sum(u)
+            c_vec = jnp.full((n,), c_scalar, self.dtype)
+            if has_float:
+                out_e, out_f, u = fusedne.fused_ne_matvec2(
+                    self.X_exact[:n], self.X_float[:n], ve, vf, c_vec,
+                    weight, interpret=interpret)
+            else:
+                out_e, u = fusedne.fused_ne_matvec(
+                    self.X_exact[:n], ve, c_vec, weight,
+                    interpret=interpret)
+            sum_u = jnp.sum(u)
         result = jnp.zeros(p_main, self.dtype)
         result = result.at[self.exact_cols].set(
             out_e[:self.exact_cols.shape[0]])
@@ -979,17 +1038,34 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         ve = self._pad1(jnp.take(v_main, self.exact_cols),
                         self.X_exact.shape[1])
         c_scalar = v0 - self.column_offset @ v_main
-        c_vec = jnp.full((n,), c_scalar, self.dtype)
-        if self.float_cols.size:
-            vf = self._pad1(jnp.take(v_main, self.float_cols),
-                            self.X_float.shape[1])
-            Xs, vs = (self.X_exact[:n], self.X_float[:n]), (ve, vf)
+        has_float = bool(self.float_cols.size)
+        vf = self._pad1(jnp.take(v_main, self.float_cols),
+                        self.X_float.shape[1]) if has_float else None
+        if self._hybrid_shard is not None:
+            def local(Xe, Xf, rows, reps):
+                (a_l, b_l), (ve_r, *vf_r_c) = rows, reps
+                c_vec = jnp.full((Xe.shape[0],), vf_r_c[-1], self.dtype)
+                Xs = (Xe, Xf) if Xf is not None else (Xe,)
+                vs = (ve_r, vf_r_c[0]) if Xf is not None else (ve_r,)
+                os_, u, lp = fusedne.fused_link_matvec(
+                    Xs, vs, c_vec, a_l, b_l, mid, with_logp=True,
+                    interpret=interpret)
+                return tuple(os_) + (jnp.sum(u), lp)
+            reps = (ve, vf, c_scalar) if has_float else (ve, c_scalar)
+            res = self._fused_sharded_call(
+                local, (a, b), reps, (4 if has_float else 3))
+            outs = res[:-2]
+            sum_u, logp = res[-2], res[-1]
         else:
-            Xs, vs = (self.X_exact[:n],), (ve,)
-        outs, u, logp = fusedne.fused_link_matvec(
-            Xs, vs, c_vec, a, b, mid, with_logp=True,
-            interpret=interpret)
-        sum_u = jnp.sum(u)
+            c_vec = jnp.full((n,), c_scalar, self.dtype)
+            if has_float:
+                Xs, vs = (self.X_exact[:n], self.X_float[:n]), (ve, vf)
+            else:
+                Xs, vs = (self.X_exact[:n],), (ve,)
+            outs, u, logp = fusedne.fused_link_matvec(
+                Xs, vs, c_vec, a, b, mid, with_logp=True,
+                interpret=interpret)
+            sum_u = jnp.sum(u)
         grad = jnp.zeros(p_main, self.dtype)
         grad = grad.at[self.exact_cols].set(
             outs[0][:self.exact_cols.shape[0]])
@@ -1018,9 +1094,24 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         u2 = jnp.asarray(u2, self.dtype)
         u3 = jnp.asarray(u3, self.dtype)
         has_float = bool(self.float_cols.size)
-        Xs = (self.X_exact[:n], self.X_float[:n]) if has_float \
-            else (self.X_exact[:n],)
-        outs = fusedne.fused_tdots(Xs, u1, u2, u3, interpret=interpret)
+        if self._hybrid_shard is not None:
+            def local(Xe, Xf, rows, reps):
+                Xs = (Xe, Xf) if Xf is not None else (Xe,)
+                blocks = fusedne.fused_tdots(Xs, *rows,
+                                             interpret=interpret)
+                flat = tuple(o for blk in blocks for o in blk)
+                return flat + tuple(jnp.sum(u) for u in rows)
+            res = self._fused_sharded_call(
+                local, (u1, u2, u3), (), (8 if has_float else 4) + 3)
+            outs = [tuple(res[4 * bi:4 * bi + 4])
+                    for bi in range(2 if has_float else 1)]
+            sums = list(res[-3:])
+        else:
+            Xs = (self.X_exact[:n], self.X_float[:n]) if has_float \
+                else (self.X_exact[:n],)
+            outs = fusedne.fused_tdots(Xs, u1, u2, u3,
+                                       interpret=interpret)
+            sums = [jnp.sum(u) for u in (u1, u2, u3)]
 
         def assemble(idx):
             res = jnp.zeros(p_main, self.dtype)
@@ -1031,7 +1122,6 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                     outs[1][idx][:self.float_cols.shape[0]])
             return res
 
-        sums = [jnp.sum(u) for u in (u1, u2, u3)]
         v = assemble(0) - sums[0] * self.column_offset
         pert = assemble(1) - sums[1] * self.column_offset
         diag = assemble(3)

@@ -166,10 +166,16 @@ def shard_design(design, mesh, axis_name=SHARD_AXIS, pred_axis=None):
             design.X_float = _put_pad(design.X_float, mesh,
                                       P(axis_name, pred_axis),
                                       pad_dims=(0, 1))
-            # GSPMD cannot partition the fused NE Pallas kernel; the
-            # sharded blocks take the composed dot/Tdot path, whose
-            # matmuls XLA partitions with ICI collectives.
             design._hybrid_sharded = True
+            # On a pure observation (1-d) mesh the fused one-sweep
+            # kernels still apply: each device runs them on its private
+            # row block under shard_map and the p-length partials psum
+            # over ICI. A predictor split would need a collective
+            # BETWEEN the kernel's two phases (full t before X'u), i.e.
+            # two block reads — so 2-d meshes take the composed path,
+            # whose matmuls GSPMD partitions.
+            design._hybrid_shard = (mesh, axis_name) \
+                if pred_axis is None else None
         else:
             design.row_idx = _put_pad(design.row_idx, mesh,
                                       P(axis_name, None))

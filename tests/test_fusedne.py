@@ -152,16 +152,18 @@ def test_quad_matvec_fused_inside_jit(monkeypatch):
                                atol=2e-4 * np.abs(composed).max())
 
 
-def test_quad_matvec_sharded_falls_back(monkeypatch):
-    """After shard_design, GSPMD owns the partitioned matmuls; the
-    design must take the composed path (the Pallas kernel cannot be
-    auto-partitioned), flagged via _hybrid_sharded in the pytree aux."""
+def test_quad_matvec_sharded_1d_keeps_fused(monkeypatch):
+    """On a 1-d observation mesh the fused kernels run per shard under
+    shard_map with p-length partials psum-ed; quad_matvec must match
+    the dense reference (uneven row count exercises the pad-and-shard
+    zero rows)."""
     from bayesbridge_tpu.parallel.sharding import make_mesh, shard_design
     monkeypatch.setenv('BB_FUSED_NE', '1')
-    design, X = _mixed_design(monkeypatch, n=48)
+    design, X = _mixed_design(monkeypatch, n=49)
     mesh = make_mesh(min(2, len(jax.devices())))
     shard_design(design, mesh)
-    assert design._hybrid_sharded
+    assert design._hybrid_sharded and design._hybrid_shard is not None
+    assert design.fused_ne_mode() is not None
     rng = np.random.default_rng(9)
     n, p = design.shape
     v = rng.standard_normal(p).astype(np.float32)
@@ -172,6 +174,43 @@ def test_quad_matvec_sharded_falls_back(monkeypatch):
     expect = dense.T @ (w * (dense @ v))
     np.testing.assert_allclose(result, expect, rtol=2e-4,
                                atol=2e-4 * np.abs(expect).max())
+
+
+def test_sharded_1d_presolve_and_link_grad(monkeypatch):
+    """The sharded fused pre-solve and link-gradient paths equal their
+    unsharded composed counterparts."""
+    from bayesbridge_tpu.parallel.sharding import make_mesh, shard_design
+    monkeypatch.setenv('BB_FUSED_NE', '1')
+    design, X = _mixed_design(monkeypatch, n=49, centered=True)
+    ref_design, _ = _mixed_design(monkeypatch, n=49, centered=True)
+    mesh = make_mesh(min(2, len(jax.devices())))
+    shard_design(design, mesh)
+    rng = np.random.default_rng(31)
+    n, p = design.shape
+    u1 = rng.standard_normal(n).astype(np.float32)
+    u2 = rng.standard_normal(n).astype(np.float32)
+    w = rng.exponential(size=n).astype(np.float32)
+    got = design.presolve_reductions(u1, u2, w)
+    monkeypatch.setenv('BB_FUSED_NE', '0')
+    ref = ref_design.presolve_reductions(u1, u2, w)
+    for g, r in zip(got, ref):
+        r = np.asarray(r)
+        np.testing.assert_allclose(np.asarray(g), r, rtol=2e-4,
+                                   atol=2e-4 * np.abs(r).max())
+    monkeypatch.setenv('BB_FUSED_NE', '1')
+    beta = rng.standard_normal(p).astype(np.float32) * .3
+    a = rng.integers(0, 2, size=n).astype(np.float32)
+    b = np.ones(n, np.float32)
+    lp1, g1 = design.fused_link_grad(beta, a, b, 'logit')
+    dense = np.hstack([np.ones((n, 1)), X.toarray()]).astype(np.float32)
+    dense[:, 1:] -= np.asarray(ref_design.column_offset)[None, :]
+    t = dense @ beta
+    u_ref = a - b / (1 + np.exp(-t))
+    lp_ref = np.sum(a * t - b * np.logaddexp(0., t))
+    g_ref = dense.T @ u_ref
+    np.testing.assert_allclose(float(lp1), lp_ref, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1), g_ref, rtol=2e-4,
+                               atol=2e-4 * np.abs(g_ref).max())
 
 
 @pytest.mark.parametrize('centered', [False, True])
