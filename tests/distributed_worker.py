@@ -33,10 +33,17 @@ jax.config.update('jax_enable_x64', True)
 
 from bayesbridge_tpu.parallel import distributed  # noqa: E402
 
+# Stage markers: when the test fails on a loaded host, the last marker
+# in the captured output says which phase died (import / rendezvous /
+# compile / numerics) — without them a flake is undiagnosable because
+# it never reproduces in isolation.
+print(f'WORKER_STAGE pid={PID} imports-done', flush=True)
+
 distributed.initialize_multihost(
     coordinator_address=f'127.0.0.1:{PORT}', num_processes=NPROC,
     process_id=PID)
 assert jax.process_count() == NPROC, jax.process_count()
+print(f'WORKER_STAGE pid={PID} rendezvous-done', flush=True)
 
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -74,6 +81,7 @@ ref_carry, ref_out = step(model, carry)
 ref_carry, ref_out2 = step(model, ref_carry)
 ref_logp = float(ref_out2['logp'])
 ref_coef = np.asarray(ref_out2['coef'])
+print(f'WORKER_STAGE pid={PID} local-reference-done', flush=True)
 
 # --- global assembly ------------------------------------------------- #
 mesh = distributed.global_mesh()

@@ -50,12 +50,16 @@ def _run_two_workers():
 def test_two_process_distributed_gibbs():
     # The coordinator rendezvous occasionally flakes on a loaded 1-core
     # host (both workers must come up within gloo's connect window);
-    # one retry with a fresh port distinguishes an environmental race
-    # from a real regression.
-    for attempt in (0, 1):
+    # retries with fresh ports and a backoff distinguish an
+    # environmental race from a real regression. The worker prints
+    # WORKER_STAGE markers so a terminal failure's output shows which
+    # phase (import / rendezvous / compile / numerics) died.
+    import time
+    for attempt in range(3):
         procs, outs = _run_two_workers()
-        if all(p.returncode == 0 for p in procs) or attempt == 1:
+        if all(p.returncode == 0 for p in procs) or attempt == 2:
             break
+        time.sleep(15 * (attempt + 1))
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, \
             f'worker {pid} failed:\n{out[-4000:]}'
