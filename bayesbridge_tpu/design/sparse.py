@@ -352,6 +352,21 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 # UNIMPLEMENTED); take the next-cheapest tier it can.
                 del costs['int4']
                 pick = min(costs, key=costs.get)
+            if pick == 'int4' and fusedne.dispatch_mode() is not None:
+                # int4 storage disqualifies the fused one-sweep kernels
+                # (they up-convert int8/bf16/f32 blocks), which costs
+                # MORE net HBM traffic than the 2x-denser tier saves:
+                # per CG iteration the fused kernel sweeps the blocks
+                # once (E + F bytes) where the composed dot/Tdot pair
+                # sweeps the int4 form twice (2*(E/2 + F) = E + 2F),
+                # and the pre-solve drops from 3 sweeps to 1. Keep int4
+                # only as a storage rescue — when the next-cheapest
+                # fusable tier would not fit the hybrid residency
+                # budget.
+                alt = min((k for k in costs if k != 'int4'),
+                          key=costs.get)
+                if X_csc.shape[0] * costs[alt] <= _HYBRID_MAX_BYTES:
+                    pick = alt
             if pick == 'int4':
                 # Densify through int8 (NumPy has no 4-bit layout); the
                 # device array is the packed s4 form.
@@ -840,9 +855,20 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         self.bits_col = put(self.bits_col, P(pred_axis, axis_name))
         self.bits_row = put(self.bits_row, P(axis_name, pred_axis))
         if self.X_float.size:
-            row_spec = P(axis_name, None) \
-                if self.X_float.shape[0] % n_dev == 0 else P()
-            self.X_float = put(self.X_float, row_spec)
+            # Zero-pad the float block's rows to the mesh rather than
+            # silently replicating it: at bitpack scale the (n x
+            # p_float) f32 block can be the dominant per-device
+            # footprint, so falling back to replication on an uneven
+            # observation count would forfeit the memory scaling the
+            # axis exists for. Every consumer pads its row operand
+            # (`_pad1`) or slices the product back to n — padded rows
+            # are genuine zeros, contributing nothing to reductions.
+            n_f = self.X_float.shape[0]
+            n_f_pad = -(-n_f // n_dev) * n_dev
+            if n_f_pad != n_f:
+                self.X_float = jnp.pad(
+                    self.X_float, ((0, n_f_pad - n_f), (0, 0)))
+            self.X_float = put(self.X_float, P(axis_name, None))
         self.column_offset = put(self.column_offset, P())
         self._bitpack_shard = (mesh, axis_name, pred_axis)
         return self
@@ -864,8 +890,9 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         elif self.backend == 'bitpack':
             result = self._bitpack_dot_bin(jnp.take(v_main, self.bin_cols))
             if self.float_cols.size:
-                result = result + self.X_float @ jnp.take(
-                    v_main, self.float_cols)
+                # X_float may carry zero rows padded to the mesh.
+                result = result + (self.X_float @ jnp.take(
+                    v_main, self.float_cols))[:result.shape[0]]
         elif self.backend == 'winell':
             result = self._winell_dot_main(v_main)
         else:
@@ -891,7 +918,8 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             result = jnp.zeros(p_main, self.column_offset.dtype)
             result = result.at[self.bin_cols].set(self._bitpack_tdot_bin(u))
             if self.float_cols.size:
-                result = result.at[self.float_cols].set(self.X_float.T @ u)
+                result = result.at[self.float_cols].set(
+                    self.X_float.T @ self._pad1(u, self.X_float.shape[0]))
         elif self.backend == 'winell':
             result = self._winell_tdot_main(u)
         else:
@@ -914,6 +942,20 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                                               jnp.float32)
                 or self.exact_cols.size == 0):
             return None
+        if self._hybrid_shard is None:
+            # Blocks sharded by hand (e.g. assigned from
+            # host_local_to_global on a multi-host job) rather than
+            # through shard_design: pallas_call cannot partition a
+            # multi-device operand outside shard_map, so fall back to
+            # the composed path, which GSPMD partitions fine. (Tracers
+            # don't expose device placement — the eager call sites
+            # decide before tracing.)
+            try:
+                multi = len(self.X_exact.sharding.device_set) > 1
+            except Exception:
+                multi = False
+            if multi:
+                return None
         return interpret
 
     def _fused_sharded_call(self, local_fn, row_vecs, rep_args, n_outs):
@@ -1176,7 +1218,8 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             if self.float_cols.size:
                 Xf = self.X_float * self.X_float if power == 2 \
                     else self.X_float
-                r = r.at[self.float_cols].set(Xf.T @ weight)
+                r = r.at[self.float_cols].set(
+                    Xf.T @ self._pad1(weight, Xf.shape[0]))
             return r
         if self.backend == 'hybrid':
             out_dtype = self.column_offset.dtype
@@ -1292,13 +1335,24 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 X = X.at[:, self.bin_cols].set(
                     X_bin[:, :p_bin].astype(dtype))
             if self.float_cols.size:
-                X = X.at[:, self.float_cols].set(self.X_float.astype(dtype))
+                X = X.at[:, self.float_cols].set(
+                    self.X_float[:n].astype(dtype))
             return X
         if self.backend == 'winell':
             if self._winell_shard is not None:
                 # Sharded layouts carry a leading device axis; densify
-                # from the retained construction-time CSR instead.
-                return jnp.asarray(self._csr_host.toarray(), dtype)
+                # from the retained construction-time CSR instead. The
+                # host CSR does not ride pytree flattening, so after a
+                # jit round-trip say what happened rather than
+                # AttributeError-ing.
+                csr = getattr(self, '_csr_host', None)
+                if csr is None:
+                    raise ValueError(
+                        "cannot densify a sharded winell design after "
+                        "a jit round-trip (the construction-time CSR "
+                        "is host state); densify the original design "
+                        "object instead")
+                return jnp.asarray(csr.toarray(), dtype)
             w_dot, k_dot = self._winell_meta[:2]
             has_sd = self._winell_meta[4]
             T = winell_mod._tile_block(n)[0]

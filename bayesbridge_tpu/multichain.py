@@ -184,7 +184,11 @@ def gibbs_chains(bridge, n_iter, n_chains, n_burnin=0, thin=1, seed=None,
     init : dict, or sequence of n_chains dicts
         One dict starts every chain from the same state (they diverge
         only through their PRNG streams); a sequence gives each chain
-        its own (overdispersed) start.
+        its own (overdispersed) start. For convergence diagnostics
+        (split R-hat, pooled ESS) prefer a sequence of overdispersed
+        starts — identical starts can leave a shared basin of a
+        multimodal posterior undetected (see
+        ``examples/multichain_rhat.py``).
     mesh : optional jax.sharding.Mesh
         If given, the chain axis is sharded over ``mesh[chain_axis]``
         (data-parallel chains; the model is replicated on every device).

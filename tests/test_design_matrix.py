@@ -289,7 +289,10 @@ def test_profiling_trace_writes_artifacts(tmp_path):
     assert found, "no trace artifacts written"
 
     # The xplane parser (bench.py's measured-roofline input) must read
-    # the capture back; on CPU there are host rows only.
+    # the capture back; on CPU there are host rows only. The parser
+    # rides the xprof converter, which CI runners don't install — the
+    # trace-writing half above still runs there.
+    pytest.importorskip('xprof')
     from bayesbridge_tpu.utils.profiling import op_stats_from_trace
     rows = op_stats_from_trace(str(tmp_path), device_only=False)
     assert rows and all('self_us' in r for r in rows)

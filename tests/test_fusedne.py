@@ -456,3 +456,26 @@ def test_cg_draw_agrees_with_unfused(monkeypatch):
         draws[mode] = np.asarray(coef)
     np.testing.assert_allclose(draws['1'], draws['0'], rtol=5e-3,
                                atol=5e-3 * np.abs(draws['0']).max())
+
+
+def test_int4_tier_defers_to_fused_eligibility(monkeypatch):
+    """When the fused one-sweep kernels would engage (f32 design, fused
+    dispatch on), the hybrid tier picker must NOT take int4 — int4
+    storage disqualifies the fused path and costs more net HBM traffic
+    than the 2x-denser tier saves. int4 remains a storage rescue when
+    the fusable tier would blow the residency budget."""
+    from bayesbridge_tpu.design import sparse as sparse_mod
+    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED', True)
+    monkeypatch.setenv('BB_FUSED_NE', '1')
+    rng = np.random.default_rng(41)
+    X = sps.csr_matrix(
+        (rng.uniform(size=(50, 8)) < .4).astype(np.float64))
+    design = SparseDesignMatrix(X, backend='hybrid', dtype=np.float32)
+    assert str(design.X_exact.dtype) == 'int8'
+    assert design.fused_ne_mode() is not None
+    # Storage rescue: an int8 tier over the residency budget keeps int4
+    # even though it forfeits the fused kernels.
+    monkeypatch.setattr(sparse_mod, '_HYBRID_MAX_BYTES', 10)
+    design4 = SparseDesignMatrix(X, backend='hybrid', dtype=np.float32)
+    assert str(design4.X_exact.dtype) == 'int4'
+    assert design4.fused_ne_mode() is None

@@ -337,3 +337,51 @@ def test_winell_backend_shards_over_mesh(n_obs):
         rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(
         float(ref_out['logp']), float(sh_out['logp']), rtol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < N_DEV,
+                    reason="needs the 8-device CPU mesh")
+def test_bitpack_uneven_obs_pads_float_block():
+    """On an uneven observation count the bitpack backend's float block
+    must be zero-padded to the mesh and actually row-sharded — NOT
+    silently replicated on every device (at bitpack scale the f32 float
+    block can dominate per-device memory)."""
+    from jax.sharding import PartitionSpec as P
+    model, cfg, carry = _build(n_obs=100, backend='bitpack')
+    design = model.design
+    assert design.float_cols.size, "test needs float columns"
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal(design.shape[1]))
+    u = jnp.asarray(rng.standard_normal(design.shape[0]))
+    w = jnp.asarray(rng.random(design.shape[0]))
+    ref_dot = np.asarray(design.dot(v))
+    ref_tdot = np.asarray(design.Tdot(u))
+    ref_fdiag = np.asarray(design.compute_fisher_diag(w))
+    ref_dense = np.asarray(design.toarray())
+
+    step = jax.jit(lambda m, c: step_mod.gibbs_step(cfg, m, c))
+    ref_carry, ref_out = step(model, carry)
+
+    mesh = make_mesh(N_DEV)
+    shard_model(model, mesh)
+    Xf = model.design.X_float
+    assert Xf.shape[0] % N_DEV == 0 and Xf.shape[0] >= 100
+    spec = Xf.sharding.spec
+    assert spec[0] is not None, f"float block replicated: {spec}"
+
+    np.testing.assert_allclose(np.asarray(model.design.dot(v)), ref_dot,
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(model.design.Tdot(u)),
+                               ref_tdot, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(model.design.compute_fisher_diag(w)), ref_fdiag,
+        rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(model.design.toarray()),
+                               ref_dense, rtol=1e-7, atol=1e-9)
+
+    sh_carry, sh_out = step(model, carry)
+    np.testing.assert_allclose(
+        np.asarray(ref_out['coef']), np.asarray(sh_out['coef']),
+        rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        float(ref_out['logp']), float(sh_out['logp']), rtol=1e-6)
