@@ -200,6 +200,6 @@ class MarkovChainManager:
             time_str = "{:.3g} minutes".format(elapsed / 60)
         else:
             raise ValueError()
-        print("{:d} Gibbs iterations complete: {:s} has elasped since the "
+        print("{:d} Gibbs iterations complete: {:s} elapsed since the "
               "last update.".format(mcmc_iter, time_str))
         self._prev_timestamp = self._curr_timestamp
