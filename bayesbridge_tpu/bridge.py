@@ -386,6 +386,127 @@ class BayesBridge:
         return lscale
 
     # ------------------------------------------------------------------ #
+    # Public component updates — building blocks for custom samplers.    #
+    # The jitted Gibbs chain scans the same functional updates           #
+    # (step.py); these host-facing methods exist so scripts written      #
+    # against the reference's per-component API keep working             #
+    # (reference: bayesbridge.py:355-511).                               #
+    # ------------------------------------------------------------------ #
+
+    def initialize_obs_precision(self, init, coef):
+        """Observation precision from an init dict, or its model-specific
+        moment-matched default (bayesbridge.py:355-370)."""
+        return self._initialize_obs_precision(
+            dict(init), np.asarray(coef, dtype=np.float64))
+
+    def update_regress_coef(self, coef, obs_prec, gscale, lscale,
+                            sampling_method):
+        """One conditional draw of coef | obs_prec, gscale, lscale
+        (bayesbridge.py:372-395). Returns ``(coef, info)``."""
+        options = SamplerOptions(sampling_method)
+        cfg = self._get_step_config(options)
+        if obs_prec is None:
+            obs_prec = np.zeros(0)
+        carry = step_mod.init_carry(
+            cfg, self.rg.split_key(), np.asarray(coef, np.float64),
+            np.asarray(obs_prec, np.float64), float(gscale),
+            np.asarray(lscale, np.float64))
+        new_coef, _, info = step_mod.update_regress_coef(
+            cfg, self.model, self.rg.split_key(), carry)
+        return np.asarray(new_coef), jax.device_get(info)
+
+    def update_obs_precision(self, coef):
+        """One conditional draw of the observation precision | coef
+        (bayesbridge.py:397-410): inverse-Gamma observation variance for
+        the linear model, Polya-Gamma latent precisions for logit, None
+        for Cox."""
+        if self.model.name not in ('linear', 'logit'):
+            return None
+        return self._draw_obs_precision(np.asarray(coef, np.float64))
+
+    def update_global_scale(self, gscale, coef_under_shrinkage, bridge_exp,
+                            coef_expected_magnitude_lower_bd=.001,
+                            method='sample'):
+        """Global-scale update | coef (bayesbridge.py:412-448): conjugate
+        Gamma draw on phi = gscale^(-bridge_exp) (``'sample'``), MC-EM
+        maximization (``'optimize'``), or no-op (None), with the
+        lower-bound guard."""
+        coef_under_shrinkage = np.asarray(coef_under_shrinkage,
+                                          np.float64)
+        if coef_under_shrinkage.size == 0:
+            return 1.0  # placeholder, as in the reference
+        lower_bd = coef_expected_magnitude_lower_bd \
+            / self.prior.compute_power_exp_ave_magnitude(bridge_exp)
+        if method == 'optimize':
+            gscale = self.monte_carlo_em_global_scale(
+                coef_under_shrinkage, bridge_exp)
+        elif method == 'sample':
+            if np.count_nonzero(coef_under_shrinkage) == 0:
+                gscale = 0.0
+            else:
+                prior_param = self.prior.param['gscale_neg_power']
+                shape = prior_param['shape'] \
+                    + coef_under_shrinkage.size / bridge_exp
+                rate = prior_param['rate'] \
+                    + np.sum(np.abs(coef_under_shrinkage) ** bridge_exp)
+                phi = float(self.rg.gamma(shape)) / rate
+                gscale = phi ** -(1 / bridge_exp)
+        elif method is not None:
+            raise ValueError(method)
+        if method is not None and gscale < lower_bd:
+            warn("The global shrinkage parameter update returned an "
+                 "unreasonably small value. Returning a specified lower "
+                 "bound value instead.")
+            gscale = lower_bd
+        return gscale
+
+    def monte_carlo_em_global_scale(self, coef_under_shrinkage,
+                                    bridge_exp):
+        """Maximize the likelihood 'coef | gscale'
+        (bayesbridge.py:450-456)."""
+        coef_under_shrinkage = np.asarray(coef_under_shrinkage)
+        phi = len(coef_under_shrinkage) / bridge_exp \
+            / np.sum(np.abs(coef_under_shrinkage) ** bridge_exp)
+        return phi ** -(1 / bridge_exp)
+
+    def update_local_scale(self, gscale, coef_under_shrinkage, bridge_exp):
+        """Local-scale draw | gscale, coef via exponentially tilted
+        stable variables (bayesbridge.py:458-478), warning on
+        under/overflow replacements."""
+        coef_under_shrinkage = np.asarray(coef_under_shrinkage,
+                                          np.float64)
+        if bridge_exp == 2:
+            return .5 * np.ones(coef_under_shrinkage.size)
+        ts = self.rg.tilted_stable(
+            bridge_exp / 2, (coef_under_shrinkage / gscale) ** 2)
+        lscale = np.sqrt(0.5 / ts)
+        if np.any(lscale == 0):
+            warn("Local scale parameter under-flowed. Replacing with a "
+                 "small number.")
+            lscale[lscale == 0] = 1e-15
+        elif np.any(np.isinf(lscale)):
+            warn("Local scale parameter over-flowed. Replacing with a "
+                 "large number.")
+            lscale[np.isinf(lscale)] = 2.0 / gscale
+        return lscale
+
+    def compute_posterior_logprob(self, coef, gscale, obs_prec,
+                                  bridge_exp):
+        """Joint log density of (coef, gscale | rest)
+        (bayesbridge.py:480-511)."""
+        cfg = self._get_step_config(SamplerOptions(
+            'cg' if self.model.name != 'cox' else 'hmc'))
+        if bridge_exp != cfg.bridge_exp:
+            import copy
+            cfg = copy.copy(cfg)
+            cfg.bridge_exp = float(bridge_exp)
+        return float(step_mod.compute_posterior_logprob(
+            cfg, self.model, jnp.asarray(coef, cfg.dtype),
+            jnp.asarray(gscale, cfg.dtype),
+            None if obs_prec is None
+            else jnp.asarray(obs_prec, cfg.dtype)))
+
+    # ------------------------------------------------------------------ #
     # Internals                                                          #
     # ------------------------------------------------------------------ #
 

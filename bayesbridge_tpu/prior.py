@@ -168,6 +168,11 @@ class RegressionCoefPrior:
         """E|X| for X with density proportional to exp(-|x/scale|^exponent)."""
         return scale * math.gamma(2 / exponent) / math.gamma(1 / exponent)
 
+    @staticmethod
+    def change_log_base(val, from_=math.e, to=10.):
+        """Convert a log-scale quantity between bases (prior.py:162-163)."""
+        return val * math.log(from_) / math.log(to)
+
     # ------------------------------------------------------------------ #
     # Global-scale Gamma hyper-parameter solver                          #
     # ------------------------------------------------------------------ #
