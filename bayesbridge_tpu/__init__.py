@@ -24,18 +24,12 @@ Design stance (TPU-first, not a port):
 """
 
 from .prior import RegressionCoefPrior
+from .models import RegressionModel
+from .gibbs_util import SamplerOptions
+from .bridge import BayesBridge
+from .multichain import gibbs_chains
 
-__all__ = ["RegressionCoefPrior"]
+__all__ = ["RegressionCoefPrior", "RegressionModel", "SamplerOptions",
+           "BayesBridge", "gibbs_chains"]
 
 __version__ = "0.1.0"
-
-# Extended as subsystems land:
-try:
-    from .models import RegressionModel  # noqa: F401
-    from .gibbs_util import SamplerOptions  # noqa: F401
-    from .bridge import BayesBridge  # noqa: F401
-    from .multichain import gibbs_chains  # noqa: F401
-    __all__ += ["RegressionModel", "SamplerOptions", "BayesBridge",
-                "gibbs_chains"]
-except ImportError:  # pragma: no cover - during incremental bootstrap only
-    pass
