@@ -33,8 +33,9 @@ from .reg_coef import (
     make_precond_hessian_matvec,
 )
 from .summarizer import (
-    estimate_coef_precond_scale_sd, extrapolate_coef_condmean,
-    summarizer_update, update_precond_hessian_pc,
+    estimate_coef_precond_scale_sd, estimate_precond_hessian_pc,
+    extrapolate_coef_condmean, summarizer_update,
+    update_precond_hessian_pc,
 )
 from .stepsize import hamiltonian_adapter_init, hamiltonian_adapter_update
 
@@ -84,7 +85,12 @@ def _stabilize_estimate(carry, estimate):
     buffer, n = carry['stab_buffer'], carry['stab_n']
     gaussian_cdf_at_onestd = 0.8414
     active = jnp.arange(_STAB_BUFFER) < n
-    n_f = jnp.maximum(n, 1).astype(estimate.dtype)
+    # The empirical CDF is over the WINDOW, so its denominator must be
+    # the window occupancy, not the lifetime count — with the lifetime
+    # n the ratio decays below the one-std threshold after ~119 updates
+    # and the clamp silently disables itself.
+    n_f = jnp.maximum(jnp.minimum(n, _STAB_BUFFER), 1) \
+        .astype(estimate.dtype)
     cdf_at_estimate = jnp.sum(
         jnp.where(active, buffer < estimate, False)) / n_f
 
@@ -137,9 +143,8 @@ def sample_coef_by_hmc(cfg, model, key, carry):
     hess_matvec = make_precond_hessian_matvec(
         model, coef_guess, precond_scale, precond_prior_prec,
         obs_prec=obs_prec)
-    pc_guess = jnp.where(
-        summ['pc_n_averaged'] > 0, summ['pc'],
-        jax.random.normal(k_pc, (cfg.n_pred,), dtype))
+    pc_guess = estimate_precond_hessian_pc(
+        summ, jax.random.normal(k_pc, (cfg.n_pred,), dtype))
     max_curvature, pc, n_hessian_matvec = power_iteration_top_eigenvalue(
         hess_matvec, pc_guess)
     # The reference raises on a non-positive curvature

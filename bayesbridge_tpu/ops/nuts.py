@@ -150,8 +150,10 @@ def generate_next_state(key, f, dt, q0, logp0=None, grad0=None,
     """One NUTS transition (nuts.py:108-151). Returns (q, info)."""
     dtype = q0.dtype
     k_mom, k_slice, k_dirs, k_grow = jax.random.split(key, 4)
+    n_init_grad = 0
     if logp0 is None or grad0 is None:
         logp0, grad0 = f(q0)
+        n_init_grad = 1  # counted, as in the reference (nuts.py:111-114)
     p0 = jax.random.normal(k_mom, q0.shape, dtype)
     joint0 = -compute_hamiltonian(logp0, p0)
     threshold = joint0 - jax.random.exponential(k_slice, (), dtype)
@@ -253,7 +255,7 @@ def generate_next_state(key, f, dt, q0, logp0=None, grad0=None,
         'grad': out['sample_grad'],
         'ave_accept_prob': out['sum_acc'] / n_nodes_f,
         'ave_hamiltonian_error': out['sum_err'] / n_nodes_f,
-        'n_grad_evals': out['n_grad'],
+        'n_grad_evals': out['n_grad'] + n_init_grad,
         'tree_height': out['attempts'],
         'u_turn_detected': out['u_turn'],
         'instability_detected': unstable,

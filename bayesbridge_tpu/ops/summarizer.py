@@ -95,7 +95,8 @@ def update_precond_hessian_pc(state, pc):
     return {**state, 'pc': new_pc, 'pc_n_averaged': n + 1}
 
 
-def estimate_precond_hessian_pc(state, key_fallback=None):
-    """Current principal-component estimate; all-zeros means 'none yet'
-    (callers substitute a random direction)."""
-    return state['pc'], state['pc_n_averaged'] > 0
+def estimate_precond_hessian_pc(state, fallback):
+    """Current principal-component estimate, or `fallback` (e.g. a random
+    direction) while no update has been recorded yet
+    (reg_coef_posterior_summarizer.py:64-70)."""
+    return jnp.where(state['pc_n_averaged'] > 0, state['pc'], fallback)

@@ -37,16 +37,12 @@ from jax import lax
 from jax.ops import segment_sum
 from jax.scipy.special import log_ndtr
 
-from .rejection import run_rejection
+from .rejection import run_rejection, uniform_open as _uniform
 
 THRESHOLD = 2.0 / np.pi  # proposal split point (polya_gamma.pyx:26)
 MAX_SERIES_TERMS = 100   # series truncation (polya_gamma.pyx:27)
 _MAX_REJECTION_ROUNDS = 512
 
-
-def _uniform(key, shape, dtype):
-    tiny = jnp.finfo(dtype).tiny
-    return jax.random.uniform(key, shape, dtype, minval=tiny)
 
 
 def _log_series_term(n, x):

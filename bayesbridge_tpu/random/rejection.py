@@ -54,6 +54,13 @@ import numpy as np
 from jax import lax
 
 
+
+def uniform_open(key, shape, dtype):
+    """Uniform on (0, 1): open at zero so downstream logs stay finite.
+    Shared by the rejection samplers (tilted-stable, Polya-Gamma)."""
+    tiny = jnp.finfo(dtype).tiny
+    return jax.random.uniform(key, shape, dtype, minval=tiny)
+
 def _plan_widths(n, min_width, shrink):
     """Static, strictly decreasing level widths starting at n."""
     widths = [n]

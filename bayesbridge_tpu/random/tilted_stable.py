@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .rejection import run_rejection
+from .rejection import run_rejection, uniform_open as _uniform
 
 TILT_POWER_THRESHOLD = 2.0  # same crossover as tilted_stable.pyx:52
 _MAX_REJECTION_ROUNDS = 256
@@ -46,11 +46,6 @@ def _safe_exp(x):
     max_arg = 0.9 * np.log(finfo.max)
     return jnp.exp(jnp.clip(x, -max_arg, max_arg))
 
-
-def _uniform(key, shape, dtype):
-    """Uniform on (0, 1): open at zero so logs are finite."""
-    tiny = jnp.finfo(dtype).tiny
-    return jax.random.uniform(key, shape, dtype, minval=tiny)
 
 
 def _sinc(x):
@@ -104,10 +99,12 @@ def _sample_divide_conquer(key, alpha, tilt, max_partition, max_rounds):
     `max_partition`.
     """
     dtype = tilt.dtype
-    m = jnp.maximum(
-        1, jnp.floor(tilt ** alpha).astype(jnp.int32)
-    )
-    m = jnp.minimum(m, max_partition)
+    # Clamp in FLOAT before the integer cast: tilt**alpha >= 2**31 would
+    # overflow the int32 floor (saturating to INT_MIN and silently
+    # collapsing to m=1).
+    m = jnp.maximum(1, jnp.floor(
+        jnp.minimum(tilt ** alpha, float(max_partition))
+    ).astype(jnp.int32))
     c = (1.0 / m.astype(dtype)) ** (1.0 / alpha)
 
     def attempt(k, p, s):
@@ -311,9 +308,6 @@ def _sample_double_rejection(key, alpha, tilt, max_rounds):
 # Public entry point                                                    #
 # --------------------------------------------------------------------- #
 
-@functools.partial(
-    jax.jit, static_argnames=('method', 'max_rounds', 'max_partition')
-)
 def sample_tilted_stable(key, char_exponent, tilt, method=None,
                          max_rounds=_MAX_REJECTION_ROUNDS,
                          max_partition=4096):
@@ -333,7 +327,29 @@ def sample_tilted_stable(key, char_exponent, tilt, method=None,
     Exact zeros in `tilt` (possible when a coefficient underflows) are
     clamped to a tiny positive value; the reference instead raises.
     """
+    # Validation must live OUTSIDE the jitted body (a traced
+    # char_exponent defeats isinstance checks); the reference raises for
+    # both conditions (tilted_stable.pyx:98-99).
+    if isinstance(char_exponent, (int, float)) \
+            and not 0.0 < char_exponent < 1.0:
+        raise ValueError(
+            "char_exponent must lie in (0, 1); got "
+            f"{char_exponent}. (The alpha = 1 stable is degenerate and "
+            "alpha > 1 is not a positive stable.)")
     tilt = jnp.asarray(tilt)
+    if not jnp.issubdtype(tilt.dtype, jnp.floating):
+        # An integer tilt would otherwise pull char_exponent to int
+        # (truncating 0.5 -> 0) and poison every division by alpha.
+        tilt = tilt.astype(jnp.result_type(float))
+    return _sample_tilted_stable(key, char_exponent, tilt, method,
+                                 max_rounds, max_partition)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('method', 'max_rounds', 'max_partition')
+)
+def _sample_tilted_stable(key, char_exponent, tilt, method,
+                          max_rounds, max_partition):
     dtype = tilt.dtype
     out_shape = tilt.shape
     alpha = jnp.broadcast_to(jnp.asarray(char_exponent, dtype), out_shape)
@@ -357,7 +373,14 @@ def sample_tilted_stable(key, char_exponent, tilt, method=None,
     tilt_dc = jnp.where(use_dc, tilt, jnp.asarray(1e-3, dtype))
     tilt_dr = jnp.where(use_dc, jnp.asarray(2.0, dtype) ** (1.0 / alpha),
                         tilt)
+    # Forced divide-conquer can need ~e*m accepted rounds for m =
+    # floor(tilt^alpha) partitions; the default cap (sized for the
+    # auto-selected m == 1 regime) would silently truncate the partial
+    # sum low. The while loop exits as soon as every lane finishes, so
+    # the larger bound costs nothing when m is small.
+    dc_rounds = max_rounds if method is None \
+        else max(max_rounds, 3 * max_partition + 64)
     x_dc = _sample_divide_conquer(k_dc, alpha, tilt_dc, max_partition,
-                                  max_rounds)
+                                  dc_rounds)
     x_dr = _sample_double_rejection(k_dr, alpha, tilt_dr, max_rounds)
     return jnp.where(use_dc, x_dc, x_dr).reshape(out_shape)

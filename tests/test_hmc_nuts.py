@@ -95,3 +95,33 @@ def test_initialize_stepsize_search():
 
     dt = initialize_stepsize(accept_prob)
     assert 0 < dt < 100
+
+
+def test_stability_estimate_stabilizer_clamps_after_long_history():
+    """The stability-estimate clamp (reference StabilityEstimateStabilizer,
+    reg_coef_sampler.py:395-429) must keep working after MORE updates than
+    the ring-buffer size: the empirical-CDF denominator is the window
+    occupancy, not the lifetime count (which would silently disable the
+    clamp after ~119 iterations)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bayesbridge_tpu.ops.hmc_update import (
+        _stabilize_estimate, _STAB_BUFFER,
+    )
+
+    rng = np.random.default_rng(0)
+    carry = {
+        'stab_buffer': jnp.zeros(_STAB_BUFFER),
+        'stab_n': jnp.asarray(0, jnp.int32),
+    }
+    # Push 3x the window length of tight history values.
+    for val in rng.normal(1.0, 0.05, size=3 * _STAB_BUFFER):
+        carry, _ = _stabilize_estimate(carry, jnp.asarray(val))
+    assert int(carry['stab_n']) == 3 * _STAB_BUFFER
+
+    # A 10x outlier must be pulled back toward the history's scale...
+    carry2, clamped = _stabilize_estimate(carry, jnp.asarray(10.0))
+    assert float(clamped) < 2.0, float(clamped)
+    # ... while an in-distribution estimate passes through unchanged.
+    _, passed = _stabilize_estimate(carry, jnp.asarray(0.98))
+    np.testing.assert_allclose(float(passed), 0.98)

@@ -158,3 +158,33 @@ def test_small_width_means_unbiased():
     draws = np.asarray(f(jax.random.split(jax.random.key(6), reps))).ravel()
     se = draws.std() / np.sqrt(draws.size)
     assert abs(draws.mean() - 0.25) < 5 * se
+
+
+def test_tilted_stable_forced_dc_large_partition_count():
+    """Forced divide-conquer with tilt**alpha >> the default round cap's
+    design regime must still return the FULL m-partition sum (the round
+    bound scales with the partition cap; a truncated partial sum would
+    bias the mean low)."""
+    n = 30_000
+    alpha, tilt = 0.5, 2500.0  # tilt**alpha = 50 partitions
+    draws = np.asarray(sample_tilted_stable(
+        jax.random.key(7), alpha, jnp.full(n, tilt),
+        method='divide-conquer'))
+    mean, var = tilted_stable_moments(alpha, tilt)
+    assert np.all(draws > 0)
+    assert abs(draws.mean() - mean) < 6 * np.sqrt(var / n) + 0.02 * mean
+
+
+def test_tilted_stable_input_validation():
+    """The reference raises on char_exponent outside (0, 1)
+    (tilted_stable.pyx:98-99); integer tilt arrays must not truncate the
+    exponent to an integer dtype."""
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match='char_exponent'):
+        sample_tilted_stable(jax.random.key(0), 1.5, jnp.ones(4))
+    with _pytest.raises(ValueError, match='char_exponent'):
+        sample_tilted_stable(jax.random.key(0), 0.0, jnp.ones(4))
+    # Integer tilt: silently cast to float, not the other way around.
+    draws = np.asarray(sample_tilted_stable(
+        jax.random.key(1), 0.5, np.array([1, 2, 3])))
+    assert np.all(np.isfinite(draws)) and np.all(draws > 0)
