@@ -32,6 +32,22 @@ from . import step as step_mod
 
 _SAVABLE_PARAMS = ('coef', 'local_scale', 'global_scale', 'obs_prec', 'logp')
 
+
+def resolve_params_to_save(model_name, params_to_save):
+    """Expand 'all' and validate parameter names (single source for the
+    single-chain and multichain drivers)."""
+    if params_to_save == 'all':
+        params_to_save = ('coef', 'local_scale', 'global_scale', 'logp')
+        if model_name != 'cox':
+            params_to_save += ('obs_prec',)
+    unknown = [key for key in params_to_save
+               if key not in _SAVABLE_PARAMS]
+    if unknown:
+        raise ValueError(
+            "Unknown parameter name(s) {} in params_to_save.".format(
+                unknown))
+    return tuple(params_to_save)
+
 # Some PJRT plugins (e.g. the tunneled 'axon' TPU backend) cannot run
 # host callbacks from inside compiled programs; probe once per backend.
 _CALLBACK_SUPPORT = {}
@@ -114,16 +130,8 @@ class BayesBridge:
             self.rg.set_seed(seed)
             self._sampler_state = None
 
-        if params_to_save == 'all':
-            params_to_save = ('coef', 'local_scale', 'global_scale', 'logp')
-            if self.model.name != 'cox':
-                params_to_save += ('obs_prec',)
-        unknown = [key for key in params_to_save
-                   if key not in _SAVABLE_PARAMS]
-        if unknown:
-            raise ValueError(
-                "Unknown parameter name(s) {} in params_to_save.".format(
-                    unknown))
+        params_to_save = resolve_params_to_save(
+            self.model.name, params_to_save)
 
         start_time = time.time()
         self.manager.stamp_time(start_time)
@@ -555,3 +563,11 @@ class BayesBridge:
                  "requested tolerance in {:d} iteration(s). You may "
                  "increase the maxiter or use the dense linear algebra "
                  "instead.".format(int(carry['n_cg_unconverged'])))
+        if 'n_curvature_invalid' in carry \
+                and int(carry['n_curvature_invalid']):
+            warn("The preconditioned-Hessian curvature estimate was "
+                 "non-positive in {:d} iteration(s) (the reference "
+                 "raises here); it was clamped, but the chain may have "
+                 "diverged — check the posterior for separability or "
+                 "a too-flat prior.".format(
+                     int(carry['n_curvature_invalid'])))

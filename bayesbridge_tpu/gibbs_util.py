@@ -7,7 +7,6 @@ thinned samples directly, so the manager's job is assembling/merging the
 output dicts, choosing which keys exist, and printing progress.
 """
 
-import math
 import time
 from warnings import warn
 
@@ -126,9 +125,6 @@ class MarkovChainManager:
                 keys += ['tree_height', 'ave_accept_prob']
             return keys
         return []
-
-    def n_samples_to_store(self, n_post_burnin, thin):
-        return math.floor(n_post_burnin / thin)
 
     # -- assembling scan outputs ---------------------------------------- #
 

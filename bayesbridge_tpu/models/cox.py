@@ -224,8 +224,13 @@ class CoxModel(AbstractModel):
 
     def get_hessian_matvec_operator(self, beta):
         _, rel_hazard, hazard_sum = self._compute_relative_hazard(beta)
+        # Guard the division exactly like the gradient path above: a
+        # zero hazard sum (saturated coefficients in f32) would turn the
+        # Hessian matvec into inf/nan and poison the HMC curvature
+        # estimate with no diagnostic.
+        safe_sum = jnp.where(hazard_sum == 0., 1.0, hazard_sum)
         W = _HazardMultinomialProbMatrix(
-            rel_hazard, hazard_sum, self.risk_set_start_index,
+            rel_hazard, safe_sum, self.risk_set_start_index,
             self.risk_set_end_index, self.n_appearance_in_risk_set,
         )
         row_sum = W.sum_over_events()

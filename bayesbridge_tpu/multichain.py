@@ -160,17 +160,8 @@ def _resolve_options(bridge, coef_sampler_type, options):
 
 
 def _resolve_params_to_save(bridge, params_to_save):
-    if params_to_save == 'all':
-        params_to_save = ('coef', 'local_scale', 'global_scale', 'logp')
-        if bridge.model.name != 'cox':
-            params_to_save += ('obs_prec',)
-    from .bridge import _SAVABLE_PARAMS
-    unknown = [k for k in params_to_save if k not in _SAVABLE_PARAMS]
-    if unknown:
-        raise ValueError(
-            "Unknown parameter name(s) {} in params_to_save.".format(
-                unknown))
-    return params_to_save
+    from .bridge import resolve_params_to_save
+    return resolve_params_to_save(bridge.model.name, params_to_save)
 
 
 def gibbs_chains(bridge, n_iter, n_chains, n_burnin=0, thin=1, seed=None,

@@ -46,7 +46,8 @@ _MAX_HMC_STEP = 512  # reg_coef_sampler.py:106
 def init_hmc_carry(cfg):
     dtype = cfg.dtype
     adapter_state, _ = hamiltonian_adapter_init(dtype)
-    carry = {'hmc_adapter': adapter_state}
+    carry = {'hmc_adapter': adapter_state,
+             'n_curvature_invalid': jnp.zeros((), jnp.int32)}
     if cfg.curvature_est_stabilized:
         carry['stab_buffer'] = jnp.zeros(_STAB_BUFFER, dtype)
         carry['stab_n'] = jnp.zeros((), jnp.int32)

@@ -41,7 +41,10 @@ def sample_gaussian_posterior(
         v = design.Tdot(obs_prec * y_gauss)
         coef = sample_gaussian_cholesky(
             key, design, obs_prec, prior_prec_sqrt, v)
-        return coef, summ_state, {}
+        # The solve computes in the design's dtype; return the chain
+        # dtype so the scan carry stays type-stable (f32 chain over an
+        # f64-stored design). No-op when they match.
+        return coef.astype(dtype), summ_state, {}
 
     if method == 'cg':
         coef_init = extrapolate_coef_condmean(
@@ -87,6 +90,7 @@ def sample_gaussian_posterior(
             atol=1e-5 * np.sqrt(design.shape[1]),
             perturbation=pert + prior_prec_sqrt * eps_prior,
         )
+        coef = coef.astype(dtype)  # design dtype -> chain dtype
         summ_state = summarizer_update(
             summ_state, coef, gscale, lscale, n_unshrunk, slab_size)
         return coef, summ_state, info
@@ -136,10 +140,15 @@ def make_precond_logp_and_grad(model, precond_scale, precond_prior_prec,
             logp, grad_coef = model.compute_loglik_and_gradient(
                 coef, loglik_only=loglik_only)
         logp = logp - 0.5 * jnp.sum(precond_prior_prec * coef_precond ** 2)
+        # The model's loglik/gradient compute in the design's dtype;
+        # cast back to the chain dtype so the HMC/NUTS integrator loops
+        # stay type-stable (f32 chain over an f64-stored design).
+        dtype = coef_precond.dtype
+        logp = logp.astype(dtype)
         if loglik_only:
             return logp, None
         grad = precond_scale * grad_coef - precond_prior_prec * coef_precond
-        return logp, grad
+        return logp, grad.astype(dtype)
     return f
 
 
@@ -154,8 +163,12 @@ def make_precond_hessian_matvec(model, coef_location, precond_scale,
         loglik_hess = model.get_hessian_matvec_operator(coef_location)
 
     def matvec(v):
-        return precond_prior_prec * v \
-            - precond_scale * loglik_hess(precond_scale * v)
+        # Cast back to the operand dtype: the model Hessian computes in
+        # the design's dtype, which would otherwise promote the power
+        # iteration's while-loop carry (f32 chain over f64 design).
+        return (precond_prior_prec * v
+                - precond_scale * loglik_hess(precond_scale * v)
+                ).astype(v.dtype)
     return matvec
 
 

@@ -91,7 +91,9 @@ def update_obs_precision(cfg, model, key, coef):
         rate = jnp.sum(resid ** 2) / 2.0
         gamma_draw = jax.random.gamma(
             key, model.n_obs / 2.0, dtype=cfg.dtype)
-        return gamma_draw / rate
+        # `rate` follows the model arrays' dtype; keep the carry in the
+        # chain dtype (f32 chain over f64-stored model).
+        return (gamma_draw / rate).astype(cfg.dtype)
     if model.name == 'logit':
         # The draw computes in the design's dtype; keep the carry in the
         # chain dtype (they differ when a narrow-storage design backs a
@@ -222,9 +224,23 @@ def gibbs_step(cfg, model, carry):
     carry = {**carry, 'key': key}
 
     coef, carry, info = update_regress_coef(cfg, model, k_coef, carry)
+    # The coefficient draw computes in the DESIGN's dtype (its matvecs
+    # promote); the carry must stay in the chain dtype or the scan body
+    # is not type-stable when a float32 chain runs over float64-stored
+    # model arrays.
+    coef = coef.astype(cfg.dtype)
     if 'cg_converged' in info:
         carry = {**carry, 'n_cg_unconverged': carry['n_cg_unconverged']
                  + (~info.pop('cg_converged')).astype(jnp.int32)}
+    if 'curvature_estimate_invalid' in info:
+        # The reference RAISES on a non-positive curvature estimate
+        # (reg_coef_sampler.py:233-239); inside jit the kernel clamps
+        # and flags, and the count surfaces as an end-of-run warning
+        # like the other guard rails.
+        carry = {**carry, 'n_curvature_invalid':
+                 carry['n_curvature_invalid']
+                 + info.pop('curvature_estimate_invalid')
+                 .astype(jnp.int32)}
     obs_prec = update_obs_precision(cfg, model, k_obs, coef)
     gscale, gscale_clamped = update_global_scale(
         cfg, k_gscale, carry['gscale'], coef[cfg.n_unshrunk:])

@@ -136,3 +136,32 @@ if __name__ == '__main__':
         jax.config.update('jax_platforms', 'cpu')
         jax.config.update('jax_enable_x64', True)
         update_goldens()
+
+
+@pytest.mark.parametrize('family,sampler', [('linear', 'cg'),
+                                            ('logit', 'cg'),
+                                            ('logit', 'hmc')])
+def test_f32_chain_over_f64_model(family, sampler):
+    """A float32 chain over float64-stored model arrays must be
+    type-stable inside the scan: the coefficient draw and the linear
+    obs-precision draw compute in the design's dtype and must be cast
+    back to the chain dtype (a missing cast crashes at trace time with
+    'carry input and carry output must have equal types')."""
+    from bayesbridge_tpu.utils.simulate_data import (
+        simulate_design, simulate_outcome,
+    )
+    X = simulate_design(60, 8, binary_frac=.6, seed=21)
+    beta = np.zeros(8)
+    beta[:2] = 1.0
+    outcome = simulate_outcome(X, beta, family, seed=22)
+    model = RegressionModel(outcome, X, family=family)  # f64 session dtype
+    assert np.asarray(model.design.X_float).dtype == np.float64
+    bridge = BayesBridge(model, RegressionCoefPrior(
+        bridge_exponent=.5, regularizing_slab_size=2.), dtype=np.float32)
+    samples, _ = bridge.gibbs(
+        n_iter=8, n_burnin=2, seed=0, coef_sampler_type=sampler,
+        init={'coef': np.zeros(model.n_pred), 'global_scale': .1,
+              'local_scale': np.ones(model.n_pred - 1)},
+        params_to_save=('coef', 'logp'))
+    assert samples['coef'].dtype == np.float32
+    assert np.all(np.isfinite(np.asarray(samples['logp'])))

@@ -73,8 +73,13 @@ def test_two_process_distributed_gibbs():
         assert p.returncode == 0, \
             f'worker {pid} failed:\n{out[-4000:]}'
         assert f'WORKER_OK pid={pid}' in out, out[-4000:]
-    # Both processes computed the identical sharded chain.
-    logps = sorted(line.split('logp=')[1]
+    # Both processes computed the identical sharded chain. Parse ONLY
+    # the numeric token: gloo's teardown log ("[Gloo] Rank 0 is
+    # connected to ...") interleaves into stdout and can land on the
+    # same line as WORKER_OK under load — taking the raw line tail made
+    # this test flake on busy hosts.
+    import re
+    logps = sorted(re.search(r'logp=(-?[0-9.]+)', line).group(1)
                    for out in outs for line in out.splitlines()
                    if 'WORKER_OK' in line)
     assert logps[0] == logps[1]
