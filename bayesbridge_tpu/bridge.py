@@ -264,7 +264,12 @@ class BayesBridge:
     # Initialization (host-side, one-time; bayesbridge.py:279-370)       #
     # ------------------------------------------------------------------ #
 
-    def initialize_chain(self, init, bridge_exp, cfg, _init_is_raw=False):
+    def initialize_chain(self, init, bridge_exp, cfg=None,
+                         _init_is_raw=False):
+        """Resolve an init dict into a full starting state
+        (bayesbridge.py:279-353). `cfg` is accepted for call-site symmetry
+        with the jitted chain setup but unused; the reference signature
+        `initialize_chain(init, bridge_exp)` works unchanged."""
         valid_names = ('coef', 'local_scale', 'global_scale', 'obs_prec',
                        'logp')
         for key in init:

@@ -190,6 +190,24 @@ def shard_design(design, mesh, axis_name=SHARD_AXIS, pred_axis=None):
     raise TypeError(type(design))
 
 
+def place_model(model, device=None):
+    """Commit every array of a model (design blocks, outcome vectors) to
+    one device. Returns the model (arrays replaced).
+
+    Uncommitted host-resident arrays are re-uploaded by EVERY jitted call
+    that consumes them; on a locally attached chip the transfer is
+    near-free, but through a remote-attached/tunneled runtime re-uploading
+    a multi-GB design per ``gibbs``/``gibbs_resume`` call can dominate the
+    wall clock. Single-device counterpart of :func:`shard_model` (which
+    commits arrays to a mesh); a no-op placement-wise if the arrays are
+    already on `device`.
+    """
+    if device is None:
+        device = jax.devices()[0]
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, device), model)
+
+
 def shard_model(model, mesh, axis_name=SHARD_AXIS, pred_axis=None):
     """Shard the design and the per-observation outcome arrays of a
     model along the observation axis (and, on a 2-d mesh with

@@ -187,6 +187,20 @@ def measured_roofline(bridge, warm_info, n_iter):
     }
 
 
+def _commit_model_to_device(model):
+    """Commit the model's arrays to the accelerator ONCE. An uncommitted
+    host-resident leaf is re-uploaded by EVERY jitted call that consumes
+    it; through a slow remote-attached tunnel (observed as low as
+    ~5-50 MB/s on shared axon links) re-uploading the multi-GB design per
+    gibbs/gibbs_resume call dwarfs the compute being timed and would
+    contaminate the steady-state measurement."""
+    import jax
+    if jax.default_backend() == 'cpu':
+        return model
+    from bayesbridge_tpu.parallel import place_model
+    return place_model(model)
+
+
 def _build_model_cached(X, outcome, dtype, cache_key):
     """RegressionModel whose (expensive) sparse-design construction is
     cached as raw arrays: the CSR -> CSC conversion, exactness scans and
@@ -210,7 +224,8 @@ def _build_model_cached(X, outcome, dtype, cache_key):
             design = SparseDesignMatrix.tree_unflatten(
                 aux, [jax.numpy.asarray(leaf) for leaf in leaves])
             from bayesbridge_tpu.models.logistic import LogisticModel
-            return LogisticModel(outcome[0], outcome[1], design)
+            return _commit_model_to_device(
+                LogisticModel(outcome[0], outcome[1], design))
         except Exception:
             # Stale cache (e.g. the pytree layout changed between
             # library versions): rebuild and overwrite.
@@ -234,7 +249,7 @@ def _build_model_cached(X, outcome, dtype, cache_key):
         except OSError:
             for stale in glob.glob(f'{base}*'):
                 os.remove(stale)
-    return model
+    return _commit_model_to_device(model)
 
 
 def time_tpu(X, outcome, n_iter, bridge_exp=0.5):

@@ -171,6 +171,28 @@ def test_uneven_2d_mesh_pads_both_axes():
                                rtol=1e-8, atol=1e-10)
 
 
+def test_place_model_commits_every_leaf():
+    """place_model must COMMIT all model arrays to one device so jitted
+    calls never re-upload them (remote-attached runtimes re-transfer
+    uncommitted host arrays on every call), and the placed model must
+    reproduce the un-placed Gibbs step exactly."""
+    from bayesbridge_tpu.parallel import place_model
+    model, cfg, carry = _build()
+    step = jax.jit(lambda m, c: step_mod.gibbs_step(cfg, m, c))
+    ref_carry, ref_out = step(model, carry)
+
+    dev = jax.devices()[-1]
+    placed = place_model(model, dev)
+    leaves = jax.tree_util.tree_leaves(placed)
+    assert leaves, "model flattened to no arrays"
+    for leaf in leaves:
+        assert leaf.committed, "leaf left uncommitted"
+        assert leaf.devices() == {dev}
+    pl_carry, pl_out = step(placed, carry)
+    np.testing.assert_array_equal(np.asarray(ref_out['coef']),
+                                  np.asarray(pl_out['coef']))
+
+
 def test_multihost_entry_is_noop_single_process():
     """initialize_multihost must be safe (and a no-op) in-process."""
     from bayesbridge_tpu.parallel import distributed
