@@ -70,9 +70,11 @@ class AbstractDesignMatrix(abc.ABC):
         override it with a fused single-HBM-pass kernel."""
         return self.Tdot(weight * self.dot(v))
 
-    def fused_ne_mode(self):
-        """Interpret-flag for the fused normal-equations kernel if
-        `quad_matvec` will use it, else None (the composed default)."""
+    def fused_ne_mode(self, kind='quad'):
+        """Interpret-flag for the fused one-sweep kernel serving the
+        `kind` call site ('quad' | 'presolve' | 'link'), else None (the
+        composed default). See design/fusedne.dispatch_mode for the
+        measured per-site policy."""
         return None
 
     def fused_link_grad(self, v, a, b, mid):

@@ -91,10 +91,12 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         self.Tdot_count += 1
         return self.X.T @ self._pad_obs(jnp.asarray(v, self.X.dtype))
 
-    def fused_ne_mode(self):
-        """Interpret-flag for the fused normal-equations kernel if
-        `quad_matvec` will use it, else None (composed dot/Tdot)."""
-        interpret = fusedne.dispatch_mode()
+    def fused_ne_mode(self, kind='quad'):
+        """Interpret-flag for the fused one-sweep kernel serving the
+        `kind` call site, else None (composed dot/Tdot). The default
+        policy fuses only the pre-solve group — see
+        design/fusedne.dispatch_mode."""
+        interpret = fusedne.dispatch_mode(kind)
         if interpret is None or self._sharded \
                 or self.X.dtype != jnp.float32:
             return None
@@ -105,7 +107,7 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         the fused normal-equations kernel (design/fusedne.py); the
         intercept/centering are already materialized in X, so the
         kernel's per-row offset is zero."""
-        interpret = self.fused_ne_mode()
+        interpret = self.fused_ne_mode('quad')
         if interpret is None:
             return super().quad_matvec(v, weight)
         v = jnp.asarray(v, jnp.float32)
@@ -120,7 +122,7 @@ class DenseDesignMatrix(AbstractDesignMatrix):
     def fused_link_grad(self, v, a, b, mid):
         """GLM loglik + gradient in ONE sweep of the stored matrix
         (design/fusedne.py fused_link_matvec); None when ineligible."""
-        interpret = self.fused_ne_mode()
+        interpret = self.fused_ne_mode('link')
         if interpret is None:
             return None
         f32 = jnp.float32
@@ -138,7 +140,7 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         stored matrix via the fused reduction kernel (design/fusedne.py
         fused_tdots); intercept/centering are already materialized in X
         so the kernel outputs need no corrections."""
-        interpret = self.fused_ne_mode()
+        interpret = self.fused_ne_mode('presolve')
         if interpret is None:
             return super().presolve_reductions(u1, u2, u3)
         f32 = jnp.float32

@@ -44,19 +44,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def dispatch_mode():
-    """Dispatch mode for the fused kernel: None = use the composed
+def dispatch_mode(kind='quad'):
+    """Dispatch mode for the fused kernels: None = use the composed
     dot-then-Tdot path; False = compiled Pallas kernel; True =
-    interpreter. BB_FUSED_NE: 'auto' (default — compiled on TPU,
-    composed elsewhere: the interpreter is far too slow to serve CPU
-    sessions), '1' (force on; interpreted off-TPU, for tests), '0'
-    (force off)."""
+    interpreter.
+
+    `kind` names the call site: 'presolve' (the 3-pass pre-solve
+    reduction group), 'quad' (the CG operator X'(w*(Xv))), 'link' (the
+    GLM loglik+gradient). The default policy fuses ONLY 'presolve':
+    an XLA-profiler trace of the flagship chain (BENCH_r03, v5e)
+    measured one fused VPU sweep of the stored blocks at ~2.3x the cost
+    of one composed MXU pass (313 vs ~725 GB/s effective — the VPU
+    multiply-reduce cannot match the MXU's streaming rate), so fusing
+    pays exactly where it replaces >= 3 passes (the pre-solve: 3 -> 1)
+    and loses where it replaces a dot+Tdot pair (2 -> 1).
+
+    BB_FUSED_NE: 'auto' (default — the measured policy above, compiled
+    on TPU, composed elsewhere: the interpreter is far too slow to
+    serve CPU sessions), 'full' (every kind compiled on TPU — the
+    round-3 all-fused data path, for hardware where the sweep runs
+    closer to memory bound), '1' (force all kinds on; interpreted
+    off-TPU, for tests), '0' (force off)."""
     mode = os.environ.get('BB_FUSED_NE', 'auto')
     on_tpu = jax.default_backend() == 'tpu'
     if mode == '0':
         return None
     if mode == '1':
         return not on_tpu
+    if mode != 'full' and kind != 'presolve':
+        return None
     return False if on_tpu else None
 
 # Lanes reduced per inner step: bounds the f32 up-convert transient to

@@ -352,17 +352,17 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 # UNIMPLEMENTED); take the next-cheapest tier it can.
                 del costs['int4']
                 pick = min(costs, key=costs.get)
-            if pick == 'int4' and fusedne.dispatch_mode() is not None:
+            if pick == 'int4' and fusedne.dispatch_mode('quad') is not None:
                 # int4 storage disqualifies the fused one-sweep kernels
-                # (they up-convert int8/bf16/f32 blocks), which costs
-                # MORE net HBM traffic than the 2x-denser tier saves:
-                # per CG iteration the fused kernel sweeps the blocks
-                # once (E + F bytes) where the composed dot/Tdot pair
-                # sweeps the int4 form twice (2*(E/2 + F) = E + 2F),
-                # and the pre-solve drops from 3 sweeps to 1. Keep int4
-                # only as a storage rescue — when the next-cheapest
-                # fusable tier would not fit the hybrid residency
-                # budget.
+                # (they up-convert int8/bf16/f32 blocks). When the CG
+                # operator itself runs fused ('full'/'1' dispatch) that
+                # costs MORE net HBM traffic than the 2x-denser tier
+                # saves — one fused sweep moves E + F bytes where the
+                # composed pair over int4 moves 2*(E/2 + F) = E + 2F —
+                # so keep int4 only as a storage rescue. Under the
+                # default policy (quad composed, presolve fused) the
+                # denser int4 tier wins: it halves E on every composed
+                # pass and forfeits only the 3->1 pre-solve fusion.
                 alt = min((k for k in costs if k != 'int4'),
                           key=costs.get)
                 if X_csc.shape[0] * costs[alt] <= _HYBRID_MAX_BYTES:
@@ -928,13 +928,16 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                              axis=1)[:self._shape_main[1]]
         return result - jnp.sum(u) * self.column_offset
 
-    def fused_ne_mode(self):
-        """Interpret-flag for the fused normal-equations kernel if
-        `quad_matvec` will use it, else None (composed dot/Tdot): the
-        kernel serves unsharded f32 hybrid designs whose exact block is
-        a storage dtype it can up-convert. bench.py's roofline model
-        keys its per-array pass counts on this."""
-        interpret = fusedne.dispatch_mode()
+    def fused_ne_mode(self, kind='quad'):
+        """Interpret-flag for the fused one-sweep kernel serving the
+        `kind` call site ('quad' | 'presolve' | 'link'), else None
+        (composed dot/Tdot): the kernels serve unsharded f32 hybrid
+        designs whose exact block is a storage dtype they can
+        up-convert, and the default policy fuses only the pre-solve
+        group (design/fusedne.dispatch_mode has the measured argument).
+        bench.py's roofline model keys its per-array pass counts on
+        this."""
+        interpret = fusedne.dispatch_mode(kind)
         if (interpret is None or self.backend != 'hybrid'
                 or (self._hybrid_sharded and self._hybrid_shard is None)
                 or self.dtype != jnp.float32
@@ -1003,7 +1006,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         application is a single HBM sweep of the design); the intercept
         and centering fold into the kernel's per-row offset `c` and its
         returned residual vector `u = weight * (X v)`."""
-        interpret = self.fused_ne_mode()
+        interpret = self.fused_ne_mode('quad')
         if interpret is None:
             return super().quad_matvec(v, weight)
         n, p_main = self._shape_main
@@ -1066,7 +1069,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         design/fusedne.py). Returns None when the fused kernel is not
         eligible — the model falls back to its composed dot-then-Tdot
         expressions."""
-        interpret = self.fused_ne_mode()
+        interpret = self.fused_ne_mode('link')
         if interpret is None:
             return None
         n, p_main = self._shape_main
@@ -1128,7 +1131,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         squared-column-moment corrections are assembled from the
         kernel's per-block outputs exactly as main_Tdot /
         compute_fisher_diag do."""
-        interpret = self.fused_ne_mode()
+        interpret = self.fused_ne_mode('presolve')
         if interpret is None:
             return super().presolve_reductions(u1, u2, u3)
         n, p_main = self._shape_main

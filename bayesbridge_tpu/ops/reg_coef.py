@@ -58,7 +58,8 @@ def sample_gaussian_posterior(
         # expressions are kept bitwise-identical to the unfused layout.
         n_obs = design.shape[0]
         k1, k2 = jax.random.split(key)
-        if cg_precond_by == 'diag' and design.fused_ne_mode() is not None:
+        if cg_precond_by == 'diag' \
+                and design.fused_ne_mode('presolve') is not None:
             # Eligibility implies an f32 design, which is the dtype the
             # composed path's Tdot output (and thus its eps draw) has.
             eps_dtype = jnp.float32

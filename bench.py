@@ -118,16 +118,17 @@ def roofline(design, mean_cg_iter, iters_per_sec):
     """
     total_bytes = design_storage_bytes(design)
     n_ops = mean_cg_iter + 1.0      # operator applications in the solve
-    if design.fused_ne_mode() is not None:
-        passes = n_ops + 3.0
-    else:
-        passes = 2.0 * n_ops + 5.0
+    quad_fused = design.fused_ne_mode('quad') is not None
+    presolve_fused = design.fused_ne_mode('presolve') is not None
+    passes = (n_ops if quad_fused else 2.0 * n_ops) \
+        + (3.0 if presolve_fused or quad_fused else 5.0)
     bytes_per_iter = passes * total_bytes
     achieved = bytes_per_iter * iters_per_sec / 1e9
     out = {
         'design_gb': round(total_bytes / 1e9, 3),
         'design_passes_per_iter': round(passes, 1),
-        'fused_ne_active': design.fused_ne_mode() is not None,
+        'fused_quad_active': quad_fused,
+        'fused_presolve_active': presolve_fused,
         'bytes_per_iter_gb': round(bytes_per_iter / 1e9, 3),
         'achieved_gb_per_s': round(achieved, 1),
         'hbm_utilization': round(achieved / _PEAK_HBM_GBPS, 3),

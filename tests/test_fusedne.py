@@ -308,6 +308,46 @@ def test_posterior_draw_agrees_with_unfused(monkeypatch):
                                atol=5e-3 * np.abs(draws['0']).max())
 
 
+def test_posterior_draw_mixed_presolve_only_mode(monkeypatch):
+    """The DEFAULT on-TPU dispatch policy fuses only the pre-solve
+    group (fused_tdots) while the CG operator and link path run
+    composed (design/fusedne.dispatch_mode 'auto'). That mixed
+    combination must agree with the all-composed path; simulated here
+    by forcing the interpreted kernel for kind='presolve' only."""
+    from bayesbridge_tpu.design import fusedne
+    from bayesbridge_tpu.ops.reg_coef import sample_gaussian_posterior
+    from bayesbridge_tpu.ops.summarizer import summarizer_init
+    design, _ = _mixed_design(monkeypatch, n=60)
+    rng = np.random.default_rng(29)
+    n, p = design.shape
+    y_gauss = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    obs_prec = jnp.asarray(rng.exponential(size=n).astype(np.float32))
+    gscale = jnp.asarray(0.5, jnp.float32)
+    lscale = jnp.asarray(
+        rng.uniform(0.5, 2.0, size=p - 1).astype(np.float32))
+    summ = summarizer_init(p, jnp.float32)
+
+    monkeypatch.setenv('BB_FUSED_NE', '0')
+    ref, _, info = sample_gaussian_posterior(
+        jax.random.PRNGKey(7), design, y_gauss, obs_prec, gscale,
+        lscale, np.asarray([2.0], np.float32), 2.0, summ, 'cg')
+    assert bool(info['cg_converged'])
+
+    monkeypatch.setenv('BB_FUSED_NE', 'auto')
+    monkeypatch.setattr(
+        fusedne, 'dispatch_mode',
+        lambda kind='quad': True if kind == 'presolve' else None)
+    assert design.fused_ne_mode('presolve') is not None
+    assert design.fused_ne_mode('quad') is None
+    mixed, _, info = sample_gaussian_posterior(
+        jax.random.PRNGKey(7), design, y_gauss, obs_prec, gscale,
+        lscale, np.asarray([2.0], np.float32), 2.0, summ, 'cg')
+    assert bool(info['cg_converged'])
+    ref, mixed = np.asarray(ref), np.asarray(mixed)
+    np.testing.assert_allclose(mixed, ref, rtol=5e-3,
+                               atol=5e-3 * np.abs(ref).max())
+
+
 @pytest.mark.parametrize('family', ['logit', 'linear'])
 def test_fused_loglik_gradient_matches_composed(monkeypatch, family):
     """models.compute_loglik_and_gradient through the one-sweep link
