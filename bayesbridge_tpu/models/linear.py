@@ -46,6 +46,17 @@ class LinearModel(AbstractModel):
         grad = None if loglik_only else obs_prec * self.design.Tdot(resid)
         return loglik, grad
 
+    def loglik_from_lin_pred(self, lin_pred, obs_prec):
+        """Log-likelihood from a precomputed linear predictor X beta —
+        identical to ``compute_loglik_and_gradient(..., loglik_only=
+        True)[0]`` without its design pass. The Gibbs step computes
+        X beta once per iteration and shares it between the
+        observation-precision draw and the log-density bookkeeping
+        (one fewer full design read per iteration)."""
+        resid = self.y - lin_pred
+        return 0.5 * self.y.size * jnp.log(obs_prec) \
+            - 0.5 * obs_prec * jnp.sum(resid ** 2)
+
     def compute_hessian(self, beta, obs_prec):
         return -obs_prec * self.design.compute_fisher_info(
             jnp.ones(self.n_obs))

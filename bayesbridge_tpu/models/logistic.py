@@ -90,6 +90,16 @@ class LogisticModel(AbstractModel):
             self.n_success - self.n_trial * predicted_prob)
         return loglik, grad
 
+    def loglik_from_lin_pred(self, lin_pred):
+        """Log-likelihood from a precomputed linear predictor X beta —
+        identical to ``compute_loglik_and_gradient(..., loglik_only=
+        True)[0]`` without its design pass; shared with the
+        Polya-Gamma update inside the Gibbs step (one fewer full
+        design read per iteration)."""
+        return jnp.sum(
+            self.n_success * lin_pred
+            - self.n_trial * jnp.logaddexp(0., lin_pred))
+
     def compute_hessian(self, beta):
         prob = jax_sigmoid(self.design.dot(beta))
         weight = self.n_trial * prob * (1 - prob)

@@ -84,10 +84,15 @@ class GibbsStepConfig:
 # Conditional updates                                                   #
 # --------------------------------------------------------------------- #
 
-def update_obs_precision(cfg, model, key, coef):
-    """obs_prec | coef (bayesbridge.py:397-410)."""
+def update_obs_precision(cfg, model, key, coef, lin_pred=None):
+    """obs_prec | coef (bayesbridge.py:397-410). `lin_pred` optionally
+    supplies a precomputed X @ coef so the step's single linear
+    predictor is shared with the log-density bookkeeping (the two
+    reads are one design pass instead of two)."""
     if model.name == 'linear':
-        resid = model.y - model.design.dot(coef)
+        if lin_pred is None:
+            lin_pred = model.design.dot(coef)
+        resid = model.y - lin_pred
         rate = jnp.sum(resid ** 2) / 2.0
         gamma_draw = jax.random.gamma(
             key, model.n_obs / 2.0, dtype=cfg.dtype)
@@ -95,12 +100,13 @@ def update_obs_precision(cfg, model, key, coef):
         # chain dtype (f32 chain over f64-stored model).
         return (gamma_draw / rate).astype(cfg.dtype)
     if model.name == 'logit':
+        if lin_pred is None:
+            lin_pred = model.design.dot(coef)
         # The draw computes in the design's dtype; keep the carry in the
         # chain dtype (they differ when a narrow-storage design backs a
         # float64 chain).
         return sample_polya_gamma(
-            key, model.n_trial_np, model.design.dot(coef)
-        ).astype(cfg.dtype)
+            key, model.n_trial_np, lin_pred).astype(cfg.dtype)
     return jnp.zeros(0, cfg.dtype)  # cox: no observation precision
 
 
@@ -154,13 +160,20 @@ def update_local_scale(cfg, key, gscale, coef_shrunk):
         jnp.sum(overflow).astype(jnp.int32)
 
 
-def compute_posterior_logprob(cfg, model, coef, gscale, obs_prec):
+def compute_posterior_logprob(cfg, model, coef, gscale, obs_prec,
+                              lin_pred=None):
     """Joint log density of (coef, gscale | rest), matching the
     reference's bookkeeping including its Gamma-prior-on-phi term written
-    in terms of gscale (bayesbridge.py:480-511)."""
+    in terms of gscale (bayesbridge.py:480-511). `lin_pred` optionally
+    supplies a precomputed X @ coef (shared with the obs-precision
+    update — XLA does not CSE the two identical design products across
+    the step, measured as one extra full design pass per iteration)."""
     if model.name == 'linear':
-        loglik, _ = model.compute_loglik_and_gradient(
-            coef, obs_prec, loglik_only=True)
+        loglik = model.loglik_from_lin_pred(lin_pred, obs_prec) \
+            if lin_pred is not None else model.compute_loglik_and_gradient(
+                coef, obs_prec, loglik_only=True)[0]
+    elif model.name == 'logit' and lin_pred is not None:
+        loglik = model.loglik_from_lin_pred(lin_pred)
     else:
         loglik, _ = model.compute_loglik_and_gradient(
             coef, loglik_only=True)
@@ -241,12 +254,18 @@ def gibbs_step(cfg, model, carry):
                  carry['n_curvature_invalid']
                  + info.pop('curvature_estimate_invalid')
                  .astype(jnp.int32)}
-    obs_prec = update_obs_precision(cfg, model, k_obs, coef)
+    # ONE linear predictor per iteration, shared by the observation
+    # precision draw and the log-density (the design's dot is a full
+    # HBM pass of the stored blocks; XLA does not CSE the two).
+    lin_pred = model.design.dot(coef) \
+        if model.name in ('linear', 'logit') else None
+    obs_prec = update_obs_precision(cfg, model, k_obs, coef, lin_pred)
     gscale, gscale_clamped = update_global_scale(
         cfg, k_gscale, carry['gscale'], coef[cfg.n_unshrunk:])
     lscale, n_under, n_over = update_local_scale(
         cfg, k_lscale, gscale, coef[cfg.n_unshrunk:])
-    logp = compute_posterior_logprob(cfg, model, coef, gscale, obs_prec)
+    logp = compute_posterior_logprob(cfg, model, coef, gscale, obs_prec,
+                                     lin_pred)
 
     carry = {
         **carry,

@@ -36,6 +36,26 @@ def test_logistic_model_gradient_and_hessian():
     assert numerical_direc_deriv_is_close(f, beta, hess, seed=0)
 
 
+def test_loglik_from_lin_pred_matches_loglik_only():
+    """The Gibbs step computes X beta once and feeds it to both the
+    obs-precision update and the log-density; loglik_from_lin_pred must
+    equal the loglik_only path bit-for-bit (same expression, same
+    operand)."""
+    y, X, beta = simulate_data(model='linear', seed=3,
+                               return_design_mat=True)
+    model = LinearModel(y, X)
+    lin_pred = model.design.dot(jnp.asarray(beta))
+    ref, _ = model.compute_loglik_and_gradient(beta, 0.7, loglik_only=True)
+    assert float(model.loglik_from_lin_pred(lin_pred, 0.7)) == float(ref)
+
+    y, X, beta = simulate_data(model='logit', seed=3,
+                               return_design_mat=True)
+    model = LogisticModel(y[0], y[1], X)
+    lin_pred = model.design.dot(jnp.asarray(beta))
+    ref, _ = model.compute_loglik_and_gradient(beta, loglik_only=True)
+    assert float(model.loglik_from_lin_pred(lin_pred)) == float(ref)
+
+
 def set_up_cox_model(seed=0):
     y, X, beta = simulate_data(model='cox', seed=seed, return_design_mat=True)
     event_time, censoring_time = y
