@@ -70,6 +70,12 @@ class AbstractDesignMatrix(abc.ABC):
         override it with a fused single-HBM-pass kernel."""
         return self.Tdot(weight * self.dot(v))
 
+    def cg_blockorder_ctx(self):
+        """(perm, unperm, offset_bo) enabling a block-ordered CG solve
+        (see SparseDesignMatrix.cg_blockorder_ctx), or None when the
+        backend has no dtype-split column layout to exploit."""
+        return None
+
     def fused_ne_mode(self, kind='quad'):
         """Interpret-flag for the fused one-sweep kernel serving the
         `kind` call site ('quad' | 'presolve' | 'link'), else None (the

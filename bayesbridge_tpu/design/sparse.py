@@ -1063,6 +1063,78 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         self.Tdot_count += 1
         return result
 
+    # -- block-ordered CG data path -------------------------------------- #
+
+    def cg_blockorder_ctx(self):
+        """(perm, unperm, offset_bo) for a BLOCK-ORDERED CG solve, or
+        None where inapplicable.
+
+        The hybrid backend stores its columns dtype-split, so every
+        composed `quad_matvec` gathers the operand into block order and
+        scatters the result back — two p-length random-index shuffles
+        PER CG ITERATION (~0.35 ms each at p=50k on v5e, measured
+        ~4.9 ms/Gibbs-iteration on the flagship trace). CG is
+        permutation-equivariant, so the solver instead conjugates the
+        WHOLE solve by the block permutation: operands reorder once at
+        entry, `quad_matvec_blockorder` splits by static SLICES (free),
+        and the draw unpermutes once at exit.
+
+        `perm` maps block order -> original positions (gather
+        original[perm] to get block order); `unperm` inverts it;
+        `offset_bo` is the centering offset in block order (computed
+        once per solve — inside the CG loop it must not be re-gathered).
+        """
+        if self.backend != 'hybrid' or self._hybrid_sharded \
+                or self.fused_ne_mode('quad') is not None:
+            return None
+        perm_main = jnp.concatenate((
+            jnp.asarray(self.exact_cols), jnp.asarray(self.float_cols)))
+        offset_bo = jnp.take(self.column_offset, perm_main)
+        if self.intercept_added:
+            perm = jnp.concatenate((
+                jnp.zeros(1, perm_main.dtype), perm_main + 1))
+        else:
+            perm = perm_main
+        unperm = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(perm.shape[0], dtype=perm.dtype))
+        return perm, unperm, offset_bo
+
+    def quad_matvec_blockorder(self, v_bo, weight, offset_bo):
+        """`quad_matvec` on a block-ordered operand: out_bo such that
+        out_bo[unperm] == quad_matvec(v_bo[unperm], weight), with the
+        column split/reassembly done by static slices instead of
+        per-call gathers/scatters (see `cg_blockorder_ctx`)."""
+        n = self._shape_main[0]
+        pe_t = self.exact_cols.shape[0]
+        v_bo = jnp.asarray(v_bo, self.dtype)
+        weight = jnp.asarray(weight, self.dtype)
+        if self.intercept_added:
+            v0, v_main_bo = v_bo[0], v_bo[1:]
+        else:
+            v0 = jnp.zeros((), self.dtype)
+            v_main_bo = v_bo
+        ve, vf = v_main_bo[:pe_t], v_main_bo[pe_t:]
+        Xe = self._exact_block()
+        t = Xe @ self._pad1(ve, Xe.shape[1])
+        if self.float_cols.size:
+            t = t + self.X_float @ self._pad1(vf, self.X_float.shape[1])
+        t = t[:n] + (v0 - offset_bo @ v_main_bo)
+        u = weight * t
+        sum_u = jnp.sum(u)
+        out_e = (Xe.T @ self._pad1(u, Xe.shape[0]))[:pe_t]
+        if self.float_cols.size:
+            out_f = (self.X_float.T @ self._pad1(
+                u, self.X_float.shape[0]))[:self.float_cols.shape[0]]
+            main = jnp.concatenate((out_e, out_f))
+        else:
+            main = out_e
+        main = main - sum_u * offset_bo
+        self.dot_count += 1
+        self.Tdot_count += 1
+        if self.intercept_added:
+            return jnp.concatenate((sum_u[None], main))
+        return main
+
     def fused_link_grad(self, v, a, b, mid):
         """GLM loglik + gradient in ONE sweep of the hybrid blocks:
         (loglik, Tdot(u)) with u the `mid` link score of t = X v (see

@@ -75,13 +75,32 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
 
     precond_prior_prec = (precond_scale * prior_prec_sqrt) ** 2
 
-    def matvec(x):
-        # Phi-tilde x = D P D x + s X' (omega X (s x)) with s the
-        # preconditioner scale (cg_sampler.py:104-113). quad_matvec
-        # evaluates the design part in ONE stored-block HBM sweep on
-        # backends with a fused kernel (design/fusedne.py).
-        return precond_prior_prec * x + precond_scale * \
-            design.quad_matvec(precond_scale * x, obs_prec)
+    # Block-ordered solve where the design's column layout rewards it
+    # (hybrid dtype-split blocks): CG is permutation-equivariant, so
+    # conjugating the whole solve by the block permutation turns the
+    # operator's per-iteration gather/scatter of the operand into
+    # static slices — the p-length vectors reorder once at entry and
+    # the draw unpermutes once at exit.
+    bo_ctx = design.cg_blockorder_ctx()
+    if bo_ctx is not None:
+        perm, unperm, offset_bo = bo_ctx
+        b = b[perm]
+        precond_scale = precond_scale[perm]
+        precond_prior_prec = precond_prior_prec[perm]
+        coef_cg_init = coef_cg_init[perm]
+
+        def matvec(x):
+            return precond_prior_prec * x + precond_scale * \
+                design.quad_matvec_blockorder(
+                    precond_scale * x, obs_prec, offset_bo)
+    else:
+        def matvec(x):
+            # Phi-tilde x = D P D x + s X' (omega X (s x)) with s the
+            # preconditioner scale (cg_sampler.py:104-113). quad_matvec
+            # evaluates the design part in ONE stored-block HBM sweep
+            # on backends with a fused kernel (design/fusedne.py).
+            return precond_prior_prec * x + precond_scale * \
+                design.quad_matvec(precond_scale * x, obs_prec)
 
     x0 = coef_cg_init / precond_scale
     r0 = b - matvec(x0)
@@ -112,6 +131,8 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
     x, r, _, rs, n_iter = lax.while_loop(cond, body, init)
 
     coef = precond_scale * x
+    if bo_ctx is not None:
+        coef = coef[unperm]
     info = {
         'n_cg_iter': n_iter,
         'cg_converged': rs <= atol ** 2,

@@ -257,6 +257,30 @@ def test_hybrid_int8_nonbinary_fisher_diag():
         expected, rtol=1e-4)
 
 
+@pytest.mark.parametrize("center,intercept", [(True, True), (False, False)])
+def test_quad_matvec_blockorder_matches_original(center, intercept):
+    """The block-ordered CG operator must equal the original-order
+    quad_matvec under the block permutation (the CG solver conjugates
+    the whole solve by it; ops/cg.py)."""
+    import jax.numpy as jnp
+    X = simulate_design(60, 12, binary_frac=.5, format_='sparse', seed=21)
+    design = SparseDesignMatrix(X, center_predictor=center,
+                                add_intercept=intercept, backend='hybrid')
+    ctx = design.cg_blockorder_ctx()
+    assert ctx is not None
+    perm, unperm, offset_bo = ctx
+    perm, unperm = np.asarray(perm), np.asarray(unperm)
+    assert sorted(perm.tolist()) == list(range(design.shape[1]))
+    np.testing.assert_array_equal(perm[unperm], np.arange(len(perm)))
+    rng = np.random.default_rng(22)
+    v = rng.standard_normal(design.shape[1])
+    w = rng.exponential(size=60)
+    ref = np.asarray(design.quad_matvec(jnp.asarray(v), jnp.asarray(w)))
+    out_bo = np.asarray(design.quad_matvec_blockorder(
+        jnp.asarray(v)[perm], jnp.asarray(w), offset_bo))
+    np.testing.assert_allclose(out_bo[unperm], ref, atol=ATOL, rtol=RTOL)
+
+
 def test_matvec_counters_and_memoization():
     X = simulate_design(30, 10, binary_frac=.5, format_='sparse', seed=11)
     design = SparseDesignMatrix(X, add_intercept=False)
