@@ -108,20 +108,24 @@ def roofline(design, mean_cg_iter, iters_per_sec):
     per CG iteration plus once for the warm start; around it the step
     reads the design for the collapsed observation (1 Tdot), the
     b-vector noise (1 Tdot), the Jacobi preconditioner diagonal
-    (1 pass), the Polya-Gamma linear predictor (1 dot) and the
-    log-density (1 dot, usually CSE'd with the former). Each operator
-    application is a dot+Tdot pair — EXCEPT when the fused kernels are
-    active (design/fusedne.py): quad_matvec sweeps BOTH hybrid blocks
-    once per application, and presolve_reductions folds the collapsed
-    observation + noise Tdot + Jacobi diagonal into one more sweep.
-    Vector traffic is negligible at these shapes.
+    (1 pass), and ONE shared linear-predictor dot (the Polya-Gamma draw
+    and the log-density consume the same X @ coef — step.py computes it
+    once). Each operator application is a dot+Tdot pair — EXCEPT when
+    the fused kernels are active (design/fusedne.py): under 'full'
+    dispatch quad_matvec sweeps BOTH hybrid blocks once per
+    application, and under the default policy presolve_reductions folds
+    the collapsed observation + noise Tdot + Jacobi diagonal into one
+    sweep. Vector traffic is negligible at these shapes.
     """
     total_bytes = design_storage_bytes(design)
     n_ops = mean_cg_iter + 1.0      # operator applications in the solve
     quad_fused = design.fused_ne_mode('quad') is not None
     presolve_fused = design.fused_ne_mode('presolve') is not None
+    # Around the solve: the pre-solve reductions (3 composed passes or
+    # 1 fused sweep) plus ONE shared linear-predictor dot (the PG draw
+    # and log-density read the same X @ coef since step.py shares it).
     passes = (n_ops if quad_fused else 2.0 * n_ops) \
-        + (3.0 if presolve_fused or quad_fused else 5.0)
+        + (2.0 if presolve_fused or quad_fused else 4.0)
     bytes_per_iter = passes * total_bytes
     achieved = bytes_per_iter * iters_per_sec / 1e9
     out = {
