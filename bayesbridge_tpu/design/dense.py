@@ -22,11 +22,15 @@ from ..utils.dtypes import default_float
 class DenseDesignMatrix(AbstractDesignMatrix):
 
     def __init__(self, X, center_predictor=False, add_intercept=True,
-                 copy_array=False, dtype=None, _skip_preprocess=False,
-                 _n_rows=None):
+                 copy_array=False, dtype=None, fused=None,
+                 _skip_preprocess=False, _n_rows=None):
         super().__init__()
         self.intercept_added = add_intercept
         self.centered = center_predictor
+        # Per-design fused-kernel policy ('auto'|'full'|'1'|'0'); None
+        # defers to the BB_FUSED_NE env var at call time (see
+        # design/fusedne.dispatch_mode).
+        self.fused_policy = fused
         self._sharded = False
         if _skip_preprocess:
             self.X = X  # pytree unflatten path: already processed
@@ -46,12 +50,13 @@ class DenseDesignMatrix(AbstractDesignMatrix):
 
     def tree_flatten(self):
         aux = (self.intercept_added, self.centered, self._n_rows,
-               self._sharded)
+               self._sharded, getattr(self, 'fused_policy', None))
         return (self.X,), aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls(children[0], center_predictor=aux[1], add_intercept=aux[0],
+                  fused=aux[4] if len(aux) > 4 else None,
                   _skip_preprocess=True, _n_rows=aux[2])
         obj._sharded = aux[3]
         return obj
@@ -96,7 +101,7 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         `kind` call site, else None (composed dot/Tdot). The default
         policy fuses only the pre-solve group — see
         design/fusedne.dispatch_mode."""
-        interpret = fusedne.dispatch_mode(kind)
+        interpret = fusedne.dispatch_mode(kind, self.fused_policy)
         if interpret is None or self._sharded \
                 or self.X.dtype != jnp.float32:
             return None

@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def dispatch_mode(kind='quad'):
+def dispatch_mode(kind='quad', policy=None):
     """Dispatch mode for the fused kernels: None = use the composed
     dot-then-Tdot path; False = compiled Pallas kernel; True =
     interpreter.
@@ -59,13 +59,17 @@ def dispatch_mode(kind='quad'):
     pays exactly where it replaces >= 3 passes (the pre-solve: 3 -> 1)
     and loses where it replaces a dot+Tdot pair (2 -> 1).
 
-    BB_FUSED_NE: 'auto' (default — the measured policy above, compiled
-    on TPU, composed elsewhere: the interpreter is far too slow to
-    serve CPU sessions), 'full' (every kind compiled on TPU — the
-    round-3 all-fused data path, for hardware where the sweep runs
-    closer to memory bound), '1' (force all kinds on; interpreted
-    off-TPU, for tests), '0' (force off)."""
-    mode = os.environ.get('BB_FUSED_NE', 'auto')
+    `policy` (first-class, per design — the design classes thread their
+    construction-time ``fused=`` option here, so two designs in one
+    process can run different policies): 'auto' (default — the measured
+    policy above, compiled on TPU, composed elsewhere: the interpreter
+    is far too slow to serve CPU sessions), 'full' (every kind compiled
+    on TPU — the round-3 all-fused data path, for hardware where the
+    sweep runs closer to memory bound), '1' (force all kinds on;
+    interpreted off-TPU, for tests), '0' (force off). When None, the
+    ``BB_FUSED_NE`` env var supplies the default."""
+    mode = policy if policy is not None \
+        else os.environ.get('BB_FUSED_NE', 'auto')
     on_tpu = jax.default_backend() == 'tpu'
     if mode == '0':
         return None

@@ -79,34 +79,89 @@ _BITPACK_MAX_BYTES = float(os.environ.get('BB_BITPACK_MAX_BYTES', 8e9))
 # Minimum share of binary columns for the bitpack backend to pay off.
 _BITPACK_MIN_BINARY_FRAC = 0.5
 
-# Lazily-probed: can the default backend actually build and consume a
-# packed-s4 operand? PJRT plugins are allowed to leave S4 unimplemented
-# (the tunneled TPU runtime rejects both the host->device transfer of an
-# S4 buffer and `convert(s4->bf16)` feeding a dot), and XLA:CPU only
-# gained it recently — so the storage-tier pick must never choose a
-# representation the runtime cannot execute.
-_INT4_SUPPORTED = None
+# Can a given platform actually build and consume a packed-s4 operand?
+# PJRT plugins are allowed to leave S4 unimplemented (tunneled TPU
+# runtimes have been observed to reject — or HANG on — the host->device
+# transfer of an S4 buffer and `convert(s4->bf16)` feeding a dot), and
+# XLA:CPU only gained it recently — so the storage-tier pick must never
+# choose a representation the runtime cannot execute. Cache is keyed by
+# PLATFORM of the device the design will EXECUTE on, never by whatever
+# `jax.default_device` context happens to be ambient at build time:
+# designs are routinely BUILT under a CPU default-device context (to
+# keep GB-scale host blocks off a slow tunnel) and then placed on the
+# accelerator, and a build-context probe poisons the tier choice for
+# the execution device (the exact failure that produced BENCH_r03's
+# timeout).
+_INT4_SUPPORTED = {}
 
 
-def _int4_matmul_supported():
-    """True iff the current default device can (a) materialize a packed
-    jnp.int4 array from host int8 and (b) widen it into an MXU matmul —
-    i.e. exactly the two operations the int4 hybrid tier performs.
-    Probed once per process on an 8x8 toy; any failure (transfer
-    rejection, UNIMPLEMENTED convert/dot) disables the tier."""
-    global _INT4_SUPPORTED
-    if _INT4_SUPPORTED is None:
+def _int4_matmul_supported(device=None):
+    """True iff `device` (default: the default backend's first device,
+    ``jax.devices()[0]`` — the device jitted code EXECUTES on) can
+    (a) materialize a packed jnp.int4 array from host int8 and (b) widen
+    it into an MXU matmul — exactly the two operations the int4 hybrid
+    tier performs. Probed once per platform on an 8x8 toy; any failure
+    (transfer rejection, UNIMPLEMENTED convert/dot) disables the tier.
+
+    The whole tier is additionally opt-in via ``BB_HYBRID_INT4=1``:
+    packed-s4 support is rare enough across PJRT runtimes (and a
+    *hanging* transfer cannot be probed safely) that auto-select must
+    never pick a representation the deployment chip cannot execute.
+    With the flag unset this returns False without touching the device.
+    """
+    if os.environ.get('BB_HYBRID_INT4', '0') != '1':
+        return False
+    if device is None:
+        # The EXECUTION device: jax.devices() ignores the ambient
+        # jax.default_device context and reports the default backend.
+        device = jax.devices()[0]
+    key = device.platform
+    if key not in _INT4_SUPPORTED:
         try:
-            toy = jnp.asarray(np.ones((8, 8), np.int8), dtype=jnp.int4)
-            f = jax.jit(lambda a: a.astype(jnp.bfloat16)
-                        @ jnp.ones((8, 8), jnp.bfloat16))
-            # A host fetch (not block_until_ready) is what truthfully
-            # forces remote execution through tunneled runtimes.
-            np.asarray(f(toy))
-            _INT4_SUPPORTED = True
+            with jax.default_device(device):
+                toy = jnp.asarray(np.ones((8, 8), np.int8),
+                                  dtype=jnp.int4)
+                f = jax.jit(lambda a: a.astype(jnp.bfloat16)
+                            @ jnp.ones((8, 8), jnp.bfloat16))
+                # A host fetch (not block_until_ready) is what truthfully
+                # forces remote execution through tunneled runtimes.
+                np.asarray(f(toy))
+            _INT4_SUPPORTED[key] = True
         except Exception:  # noqa: BLE001 - any runtime rejection counts
-            _INT4_SUPPORTED = False
-    return _INT4_SUPPORTED
+            _INT4_SUPPORTED[key] = False
+    return _INT4_SUPPORTED[key]
+
+
+def _chunked_gram(chunk_fn, m, p, w, dtype):
+    """Accumulate ``(Z' W Z, Z' w)`` over row chunks of an m x p design
+    whose rows are produced on demand by ``chunk_fn(start, size)`` (a
+    (size, p) panel in the working dtype). Bounds the working-dtype
+    transient to one chunk (BB_GRAM_CHUNK_BYTES, default 256 MB) instead
+    of materializing the full w-scaled n x p design, so the Cholesky
+    path's Fisher product scales to any n while p stays
+    Cholesky-sized. Chunk starts are clamped (the last chunk re-reads
+    rows the previous one already covered) with the overlap masked out
+    of the weight slice, so every row is counted exactly once."""
+    budget = int(os.environ.get('BB_GRAM_CHUNK_BYTES', 2 ** 28))
+    itemsize = jnp.dtype(dtype).itemsize
+    c = max(256, budget // max(1, 2 * p * itemsize))
+    c = min(m, -(-c // 8) * 8)
+    k = -(-m // c)
+    if k <= 1:
+        Z = chunk_fn(0, m)
+        return Z.T @ (w[:, None] * Z), Z.T @ w
+
+    def body(i, carry):
+        G, s = carry
+        start = jnp.minimum(i * c, m - c)
+        mask = (start + jnp.arange(c)) >= i * c
+        wb = jax.lax.dynamic_slice(w, (start,), (c,)) \
+            * mask.astype(dtype)
+        Z = chunk_fn(start, c)
+        return G + Z.T @ (wb[:, None] * Z), s + Z.T @ wb
+
+    init = (jnp.zeros((p, p), dtype), jnp.zeros(p, dtype))
+    return jax.lax.fori_loop(0, k, body, init)
 
 
 def _densify_columns(X_csc, cols, out_dtype):
@@ -180,10 +235,15 @@ class SparseDesignMatrix(AbstractDesignMatrix):
 
     def __init__(self, X, center_predictor=False, add_intercept=True,
                  copy_array=False, dtype=None, backend='auto',
-                 _parts=None):
+                 fused=None, _parts=None):
         super().__init__()
         self.intercept_added = add_intercept
         self.centered = center_predictor
+        # Per-design fused-kernel policy ('auto'|'full'|'1'|'0'); None
+        # defers to the BB_FUSED_NE env var at call time. First-class so
+        # two designs in one process can run different policies
+        # (design/fusedne.dispatch_mode documents the values).
+        self.fused_policy = fused
         self._dense_cache = None
         self._hybrid_sharded = False
         self._hybrid_shard = None
@@ -352,7 +412,8 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 # UNIMPLEMENTED); take the next-cheapest tier it can.
                 del costs['int4']
                 pick = min(costs, key=costs.get)
-            if pick == 'int4' and fusedne.dispatch_mode('quad') is not None:
+            if pick == 'int4' and fusedne.dispatch_mode(
+                    'quad', self.fused_policy) is not None:
                 # int4 storage disqualifies the fused one-sweep kernels
                 # (they up-convert int8/bf16/f32 blocks). When the CG
                 # operator itself runs fused ('full'/'1' dispatch) that
@@ -683,16 +744,20 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                getattr(self, '_bitpack_shard', None),
                getattr(self, '_winell_shard', None),
                getattr(self, '_hybrid_sharded', False),
-               getattr(self, '_hybrid_shard', None))
+               getattr(self, '_hybrid_shard', None),
+               getattr(self, 'fused_policy', None))
         return arrays, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (intercept_added, centered, backend, shape_main, nnz, binary,
          bitpack_meta, winell_meta, bitpack_shard, winell_shard,
-         hybrid_sharded, hybrid_shard) = aux
+         hybrid_sharded, hybrid_shard) = aux[:12]
+        # Designs cached (pickled aux) before the fused_policy field
+        # existed unflatten with the None (env-var) default.
+        fused = aux[12] if len(aux) > 12 else None
         obj = cls(None, center_predictor=centered,
-                  add_intercept=intercept_added,
+                  add_intercept=intercept_added, fused=fused,
                   _parts=((backend, shape_main, nnz, binary,
                            bitpack_meta, winell_meta), children))
         obj._bitpack_shard = bitpack_shard
@@ -937,7 +1002,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         group (design/fusedne.dispatch_mode has the measured argument).
         bench.py's roofline model keys its per-array pass counts on
         this."""
-        interpret = fusedne.dispatch_mode(kind)
+        interpret = fusedne.dispatch_mode(kind, self.fused_policy)
         if (interpret is None or self.backend != 'hybrid'
                 or (self._hybrid_sharded and self._hybrid_shard is None)
                 or self.dtype != jnp.float32
@@ -1340,11 +1405,100 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         return diag
 
     def compute_fisher_info(self, weight, diag_only=False):
+        """X' W X over the full (intercept + centered) design, built as
+        a p x p Gram product WITHOUT densifying the n x p design
+        (reference computes it sparsely too: sparse_matrix.py:131-162,
+        via `X_csr.T @ diag(w) @ X_csr`). The hybrid/ell backends stream
+        the stored blocks through row-chunked MXU matmuls whose
+        transient is bounded (BB_GRAM_CHUNK_BYTES, default 256 MB), so
+        large-n small-p designs — the regime where the sampler cost
+        model SELECTS the Cholesky sampler — work at any n. The memory
+        guard sits on the p x p OUTPUT (VERDICT r3 item 5), not on
+        n x p."""
         if diag_only:
             return self.compute_fisher_diag(weight)
-        X = self._materialize_dense()
+        n, p_main = self._shape_main
+        p_total = p_main + int(self.intercept_added)
+        if p_total * p_total > _DENSE_FISHER_MAX_ELEMS:
+            raise MemoryError(
+                "Refusing to build a {:d} x {:d} dense Fisher "
+                "information matrix; use the CG sampler.".format(
+                    p_total, p_total))
         weight = jnp.asarray(weight, self.dtype)
-        return X.T @ (weight[:, None] * X)
+        if self.backend in ('hybrid', 'ell'):
+            G, s1 = self._gram_main(weight)
+        else:
+            # bitpack/winell are the beyond-HBM backends (p in the
+            # hundreds of thousands): the p x p output guard above
+            # already rejects every Cholesky-sized case they would hit,
+            # so the (n*p-guarded) densify only ever serves small
+            # designs explicitly constructed with these backends.
+            X = self._materialize_dense(main_only=True)
+            Xw = weight[:, None] * X
+            G, s1 = X.T @ Xw, X.T @ weight
+        s0 = jnp.sum(weight)
+        if self.centered:
+            c = self.column_offset
+            G = G - jnp.outer(c, s1) - jnp.outer(s1, c) \
+                + s0 * jnp.outer(c, c)
+            s1 = s1 - s0 * c
+        if self.intercept_added:
+            top = jnp.concatenate((s0[None], s1))
+            G = jnp.concatenate((s1[:, None], G), axis=1)
+            G = jnp.concatenate((top[None, :], G), axis=0)
+        return G
+
+    def _gram_main(self, weight):
+        """(X' W X, X' w) over the UNCENTERED main columns, streamed in
+        row chunks: each chunk up-converts its stored panels into the
+        working dtype, scales one side by its weight slice, and feeds
+        one MXU matmul accumulating into the p x p output — the n x p
+        w-scaled transient of the naive form never materializes."""
+        dtype = self.dtype
+        p_main = self._shape_main[1]
+        if self.backend == 'hybrid':
+            blocks, idxs = [], []
+            for b, ix in ((self.X_exact, self.exact_cols),
+                          (self.X_float, self.float_cols)):
+                if ix.size:  # slice off mesh-padding columns, if any
+                    blocks.append(b[:, :ix.shape[0]])
+                    idxs.append(ix)
+            if not blocks:
+                z = jnp.zeros((p_main, p_main), dtype)
+                return z, jnp.zeros(p_main, dtype)
+            m = blocks[0].shape[0]
+            w = self._pad1(weight, m)  # padded block rows are zeros
+
+            def chunk(start, size):
+                return jnp.concatenate(
+                    [jax.lax.dynamic_slice(
+                        b, (start, 0), (size, b.shape[1])).astype(dtype)
+                     for b in blocks], axis=1)
+
+            G, s1 = _chunked_gram(chunk, m, sum(b.shape[1]
+                                                for b in blocks), w, dtype)
+            if len(idxs) == 1 and idxs[0].shape[0] == p_main:
+                return G, s1  # single full block: already column order
+            idx = jnp.concatenate(idxs)
+            Gp = jnp.zeros((p_main, p_main), dtype)
+            Gp = Gp.at[idx[:, None], idx[None, :]].set(G)
+            return Gp, jnp.zeros(p_main, dtype).at[idx].set(s1)
+        # ell: scatter each row chunk's (slot -> column) pairs into a
+        # bounded dense panel, then the same MXU accumulation. Padded
+        # slots add value 0 at column 0 — inert.
+        m = self.row_idx.shape[0]
+        w = self._pad1(weight, m)
+
+        def chunk(start, size):
+            idx_c = jax.lax.dynamic_slice(
+                self.row_idx, (start, 0), (size, self.row_idx.shape[1]))
+            val_c = jax.lax.dynamic_slice(
+                self.row_val, (start, 0), (size, self.row_val.shape[1]))
+            Z = jnp.zeros((size, p_main), dtype)
+            rows = jnp.broadcast_to(jnp.arange(size)[:, None], idx_c.shape)
+            return Z.at[rows, idx_c].add(val_c.astype(dtype))
+
+        return _chunked_gram(chunk, m, p_main, w, dtype)
 
     def compute_transposed_fisher_info(self, weight, include_intrcpt=False):
         """X diag(weight) X' over predictors (sparse_matrix.py:182-196)."""

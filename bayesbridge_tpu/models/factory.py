@@ -38,7 +38,8 @@ _BUILDERS = {'linear': _build_linear, 'logit': _build_logit}
 
 
 def RegressionModel(outcome, X, family='linear',
-                    add_intercept=None, center_predictor=True, dtype=None):
+                    add_intercept=None, center_predictor=True, dtype=None,
+                    fused=None):
     """Package raw (outcome, X) data as a likelihood model for BayesBridge.
 
     Parameters
@@ -58,6 +59,11 @@ def RegressionModel(outcome, X, family='linear',
         Column-center X (implicitly — never materialized for sparse
         storage).
     dtype : optional float dtype for the device-resident design.
+    fused : optional fused-kernel policy for the design
+        ('auto' | 'full' | '1' | '0'; see
+        ``design.fusedne.dispatch_mode``). Per-design — two models in
+        one process can run different policies. Defaults to the
+        ``BB_FUSED_NE`` env var.
     """
     if family == 'cox':
         if add_intercept:
@@ -65,7 +71,7 @@ def RegressionModel(outcome, X, family='linear',
                  "won't be added.")
         event_time, censoring_time, X = CoxModel.preprocess_data(
             outcome[0], outcome[1], X)
-        design = _make_design(X, False, center_predictor, dtype)
+        design = _make_design(X, False, center_predictor, dtype, fused)
         return CoxModel(event_time, censoring_time, design)
 
     builder = _BUILDERS.get(family)
@@ -73,11 +79,12 @@ def RegressionModel(outcome, X, family='linear',
         raise NotImplementedError(family)
     design = _make_design(
         X, True if add_intercept is None else add_intercept,
-        center_predictor, dtype)
+        center_predictor, dtype, fused)
     return builder(outcome, design)
 
 
-def _make_design(X, add_intercept, center_predictor, dtype):
+def _make_design(X, add_intercept, center_predictor, dtype, fused=None):
     cls = SparseDesignMatrix if sps.issparse(X) else DenseDesignMatrix
     return cls(X, add_intercept=add_intercept,
-               center_predictor=center_predictor, dtype=dtype)
+               center_predictor=center_predictor, dtype=dtype,
+               fused=fused)

@@ -160,9 +160,10 @@ def shard_design(design, mesh, axis_name=SHARD_AXIS, pred_axis=None):
             # counts are zero-padded to the mesh (the design's products
             # slice the padding back off) so the blocks are genuinely
             # distributed at any shape.
-            design.X_exact = _put_pad(design.X_exact, mesh,
-                                      P(axis_name, pred_axis),
-                                      pad_dims=(0, 1))
+            design.X_exact = _put_pad(
+                _demote_unsupported(design.X_exact,
+                                    mesh.devices.flat[0]),
+                mesh, P(axis_name, pred_axis), pad_dims=(0, 1))
             design.X_float = _put_pad(design.X_float, mesh,
                                       P(axis_name, pred_axis),
                                       pad_dims=(0, 1))
@@ -205,7 +206,29 @@ def place_model(model, device=None):
     if device is None:
         device = jax.devices()[0]
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, device), model)
+        lambda x: jax.device_put(_demote_unsupported(x, device), device),
+        model)
+
+
+def _demote_unsupported(x, device):
+    """Re-validate narrow-dtype leaves against the device they are being
+    moved TO: a design may have been built under a different default
+    device (e.g. CPU, to keep GB-scale blocks off a slow tunnel) whose
+    capability set is wider than the accelerator's. Packed-s4 leaves a
+    runtime cannot transfer/execute are widened to int8 — numerically
+    identical (both up-convert into the MXU operand dtype at use sites)
+    at 2x the HBM bytes — rather than letting the first jitted call
+    fail, or worse hang, on the chip."""
+    if getattr(x, 'dtype', None) is None or str(x.dtype) != 'int4':
+        return x
+    from ..design.sparse import _int4_matmul_supported
+    if _int4_matmul_supported(device):
+        return x
+    warn("place_model: widening a packed-s4 (int4) array to int8 — the "
+         "target device platform {!r} cannot execute S4 operands. The "
+         "design keeps exact semantics at 2x the storage bytes."
+         .format(device.platform))
+    return np.asarray(x, dtype=np.int8)
 
 
 def shard_model(model, mesh, axis_name=SHARD_AXIS, pred_axis=None):

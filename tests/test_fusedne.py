@@ -98,7 +98,7 @@ def _mixed_design(monkeypatch, seed=3, n=40, centered=False,
     # fused kernel does not serve — and every fused-vs-composed
     # comparison below would silently compare composed against itself.
     from bayesbridge_tpu.design import sparse as sparse_mod
-    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED', False)
+    monkeypatch.delenv('BB_HYBRID_INT4', raising=False)
     rng = np.random.default_rng(seed)
     binary = (rng.uniform(size=(n, 6)) < .3).astype(np.float64)
     parts = [binary] if binary_only \
@@ -336,7 +336,8 @@ def test_posterior_draw_mixed_presolve_only_mode(monkeypatch):
     monkeypatch.setenv('BB_FUSED_NE', 'auto')
     monkeypatch.setattr(
         fusedne, 'dispatch_mode',
-        lambda kind='quad': True if kind == 'presolve' else None)
+        lambda kind='quad', policy=None:
+            True if kind == 'presolve' else None)
     assert design.fused_ne_mode('presolve') is not None
     assert design.fused_ne_mode('quad') is None
     mixed, _, info = sample_gaussian_posterior(
@@ -358,7 +359,7 @@ def test_fused_loglik_gradient_matches_composed(monkeypatch, family):
         simulate_design, simulate_outcome,
     )
     from bayesbridge_tpu.design import sparse as sparse_mod
-    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED', False)
+    monkeypatch.delenv('BB_HYBRID_INT4', raising=False)
     rng = np.random.default_rng(29)
     X = simulate_design(90, 14, binary_frac=.6, seed=8)
     beta_true = np.zeros(14)
@@ -388,7 +389,7 @@ def test_fused_logit_loglik_extreme_predictor(monkeypatch):
         simulate_design, simulate_outcome,
     )
     from bayesbridge_tpu.design import sparse as sparse_mod
-    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED', False)
+    monkeypatch.delenv('BB_HYBRID_INT4', raising=False)
     X = simulate_design(60, 8, binary_frac=.6, seed=12)
     beta_true = np.zeros(8)
     outcome = simulate_outcome(X, beta_true, 'logit', seed=13)
@@ -417,7 +418,7 @@ def test_hmc_chain_with_fused_gradient(monkeypatch):
         simulate_design, simulate_outcome,
     )
     from bayesbridge_tpu.design import sparse as sparse_mod
-    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED', False)
+    monkeypatch.delenv('BB_HYBRID_INT4', raising=False)
     X = simulate_design(80, 10, binary_frac=.6, seed=10)
     beta = np.zeros(10)
     beta[:3] = 1.0
@@ -453,7 +454,7 @@ def test_vmapped_chains_with_fused_kernels(monkeypatch):
         simulate_design, simulate_outcome,
     )
     from bayesbridge_tpu.design import sparse as sparse_mod
-    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED', False)
+    monkeypatch.delenv('BB_HYBRID_INT4', raising=False)
     monkeypatch.setenv('BB_FUSED_NE', '1')
     X = simulate_design(100, 16, binary_frac=.7, seed=3)
     beta = np.zeros(16)
@@ -505,7 +506,9 @@ def test_int4_tier_defers_to_fused_eligibility(monkeypatch):
     than the 2x-denser tier saves. int4 remains a storage rescue when
     the fusable tier would blow the residency budget."""
     from bayesbridge_tpu.design import sparse as sparse_mod
-    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED', True)
+    monkeypatch.setenv('BB_HYBRID_INT4', '1')
+    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED',
+                        {jax.devices()[0].platform: True})
     monkeypatch.setenv('BB_FUSED_NE', '1')
     rng = np.random.default_rng(41)
     X = sps.csr_matrix(
