@@ -109,6 +109,7 @@ def test_densify_and_pytree_roundtrip():
                                np.asarray(design.dot(v)))
 
 
+@pytest.mark.slow
 def test_gibbs_runs_on_bitpack_backend():
     """End-to-end: a short CG Gibbs chain over a bitpacked design agrees
     with the same chain over the hybrid backend (same seed, same draws:
@@ -145,6 +146,7 @@ def test_gibbs_runs_on_bitpack_backend():
                                atol=(1e-4 if _ON_TPU else 1e-7))
 
 
+@pytest.mark.slow
 def test_f32_bitpack_design_inside_x64_session():
     """The production beyond-HBM combination: an explicitly-f32 bitpack
     design driving an f32 CG chain while the session has jax_enable_x64

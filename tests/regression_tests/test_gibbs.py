@@ -31,7 +31,11 @@ TEST_COMBOS = [
     ('linear', 'cg', 'dense', False),
     ('linear', 'nuts', 'dense', False),
     ('logit', 'cholesky', 'dense', False),
-    ('logit', 'cholesky', 'dense', True),  # restart in the middle
+    # Restart in the middle; slow: runs the chain twice plus a resume.
+    # The fast lane keeps the same combo without restart; resume
+    # semantics stay pinned by the full suite and test_multichain.
+    pytest.param('logit', 'cholesky', 'dense', True,
+                 marks=pytest.mark.slow),
     ('logit', 'cg', 'sparse', False),
     ('cox', 'hmc', 'sparse', False),
     ('cox', 'nuts', 'sparse', False),

@@ -374,6 +374,7 @@ def test_fisher_info_beyond_densify_guard(monkeypatch):
         expected, atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_cholesky_sampler_large_n_sparse_end_to_end(monkeypatch):
     """(large-n, small-p) sparse logit runs coef_sampler_type='cholesky'
     end-to-end — the case the reference's own cost model selects

@@ -47,7 +47,13 @@ def _run_two_workers():
     return procs, outs
 
 
+@pytest.mark.slow
 def test_two_process_distributed_gibbs():
+    # slow: two fresh interpreters each compile the sharded Gibbs step
+    # on this 1-core host — minutes of wall clock, and the rendezvous
+    # retries multiply it. The inner-loop suite (-m 'not slow') keeps
+    # the in-process mesh tests; this cross-process leg runs in the
+    # full suite and CI's slow lane.
     # The coordinator rendezvous occasionally flakes on a loaded 1-core
     # host (both workers must come up within gloo's connect window);
     # retries with fresh ports and a backoff distinguish an

@@ -406,6 +406,7 @@ def test_fused_logit_loglik_extreme_predictor(monkeypatch):
                                atol=1e-4 * np.abs(np.asarray(g0)).max())
 
 
+@pytest.mark.slow
 def test_hmc_chain_with_fused_gradient(monkeypatch):
     """A short HMC chain through the public API with the fused link
     kernel stays finite and tracks the composed chain's posterior
@@ -441,6 +442,7 @@ def test_hmc_chain_with_fused_gradient(monkeypatch):
                                atol=.5)
 
 
+@pytest.mark.slow
 def test_vmapped_chains_with_fused_kernels(monkeypatch):
     """multichain vmaps the Gibbs step over chains; the fused Pallas
     kernels must batch (pallas_call gains a leading grid axis under
@@ -507,18 +509,25 @@ def test_int4_tier_defers_to_fused_eligibility(monkeypatch):
     the fusable tier would blow the residency budget."""
     from bayesbridge_tpu.design import sparse as sparse_mod
     monkeypatch.setenv('BB_HYBRID_INT4', '1')
-    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED',
-                        {jax.devices()[0].platform: True})
+    # Report S4 capability regardless of platform, and build the S4
+    # block under the CPU device (XLA:CPU executes S4; a TPU-session
+    # default backend may not) — this test pins tier-pick LOGIC, not
+    # hardware capability.
+    monkeypatch.setattr(sparse_mod, '_int4_matmul_supported',
+                        lambda device=None: True)
     monkeypatch.setenv('BB_FUSED_NE', '1')
     rng = np.random.default_rng(41)
     X = sps.csr_matrix(
         (rng.uniform(size=(50, 8)) < .4).astype(np.float64))
-    design = SparseDesignMatrix(X, backend='hybrid', dtype=np.float32)
-    assert str(design.X_exact.dtype) == 'int8'
-    assert design.fused_ne_mode() is not None
-    # Storage rescue: an int8 tier over the residency budget keeps int4
-    # even though it forfeits the fused kernels.
-    monkeypatch.setattr(sparse_mod, '_HYBRID_MAX_BYTES', 10)
-    design4 = SparseDesignMatrix(X, backend='hybrid', dtype=np.float32)
-    assert str(design4.X_exact.dtype) == 'int4'
-    assert design4.fused_ne_mode() is None
+    with jax.default_device(jax.devices('cpu')[0]):
+        design = SparseDesignMatrix(X, backend='hybrid',
+                                    dtype=np.float32)
+        assert str(design.X_exact.dtype) == 'int8'
+        assert design.fused_ne_mode() is not None
+        # Storage rescue: an int8 tier over the residency budget keeps
+        # int4 even though it forfeits the fused kernels.
+        monkeypatch.setattr(sparse_mod, '_HYBRID_MAX_BYTES', 10)
+        design4 = SparseDesignMatrix(X, backend='hybrid',
+                                     dtype=np.float32)
+        assert str(design4.X_exact.dtype) == 'int4'
+        assert design4.fused_ne_mode() is None

@@ -78,6 +78,7 @@ def test_chains_shard_over_mesh():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_overdispersed_per_chain_inits():
     """A list of init dicts gives each chain its own starting point."""
     bridge = _make_bridge()
@@ -99,6 +100,7 @@ def test_overdispersed_per_chain_inits():
                      coef_sampler_type='cholesky')
 
 
+@pytest.mark.slow
 def test_shared_partial_init_broadcasts_one_start():
     """A single (partial) init dict resolves once and every chain starts
     from the same state, even when unspecified parameters are drawn."""
@@ -115,6 +117,7 @@ def test_shared_partial_init_broadcasts_one_start():
             np.testing.assert_array_equal(arr[c], arr[0])
 
 
+@pytest.mark.slow
 def test_multichain_jit_cache_is_reused():
     """Repeated gibbs_chains calls with the same config must not
     recompile the vmapped program."""
@@ -132,6 +135,7 @@ def test_multichain_jit_cache_is_reused():
     assert _run_chains._cache_size() == size
 
 
+@pytest.mark.slow
 def test_multichain_resume_equals_uninterrupted():
     """Per-chain resume must be bit-identical to the longer run."""
     bridge = _make_bridge()
@@ -151,6 +155,7 @@ def test_multichain_resume_equals_uninterrupted():
     assert m_info['n_iter'] == 10
 
 
+@pytest.mark.slow
 def test_rhat_and_pooled_ess():
     bridge = _make_bridge()
     # 72 draws x 4 chains keeps the split-rhat / pooled-ESS assertions
@@ -176,6 +181,7 @@ def test_rhat_detects_disagreement():
     assert compute_split_rhat(bad[..., None, :]).item() > 2.0
 
 
+@pytest.mark.slow
 def test_multichain_cox_family():
     """Chains vmap over the Cox carry too (obs_prec is empty there)."""
     outcome, X, _ = simulate_data(model='cox', seed=4, n_obs=60, n_pred=10)

@@ -46,6 +46,7 @@ def _build(n_obs=64, n_pred=24, family='logit', backend=None):
 
 @pytest.mark.skipif(len(jax.devices()) < N_DEV,
                     reason="needs the 8-device CPU mesh")
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ['hybrid', 'ell'])
 def test_sharded_step_matches_unsharded(backend):
     model, cfg, carry = _build(backend=backend)
@@ -73,6 +74,7 @@ def test_sharded_step_matches_unsharded(backend):
 
 @pytest.mark.skipif(len(jax.devices()) < N_DEV,
                     reason="needs the 8-device CPU mesh")
+@pytest.mark.slow
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
 def test_2d_obs_pred_sharding_matches_unsharded(mesh_shape):
     """Column-sharding of the hybrid blocks (SURVEY §5.7): an
@@ -96,6 +98,7 @@ def test_2d_obs_pred_sharding_matches_unsharded(mesh_shape):
 
 @pytest.mark.skipif(len(jax.devices()) < N_DEV,
                     reason="needs the 8-device CPU mesh")
+@pytest.mark.slow
 def test_2d_sharding_ell_backend():
     from bayesbridge_tpu.parallel import PRED_AXIS
     model, cfg, carry = _build(backend='ell')
@@ -110,6 +113,7 @@ def test_2d_sharding_ell_backend():
 
 @pytest.mark.skipif(len(jax.devices()) < N_DEV,
                     reason="needs the 8-device CPU mesh")
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ['hybrid', 'ell'])
 def test_uneven_obs_axis_pads_and_shards(backend):
     """An observation count that does not divide the mesh must be
@@ -171,6 +175,7 @@ def test_uneven_2d_mesh_pads_both_axes():
                                rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_place_model_commits_every_leaf():
     """place_model must COMMIT all model arrays to one device so jitted
     calls never re-upload them (remote-attached runtimes re-transfer
@@ -221,6 +226,7 @@ def test_sharded_full_chain_runs():
 
 @pytest.mark.skipif(len(jax.devices()) < N_DEV,
                     reason="needs the 8-device CPU mesh")
+@pytest.mark.slow
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
 def test_bitpack_2d_pred_axis_sharding(mesh_shape):
     """2-d (obs x pred) sharding of the dual bitmaps (SURVEY §5.7 /
@@ -260,6 +266,7 @@ def test_bitpack_2d_pred_axis_sharding(mesh_shape):
 
 @pytest.mark.skipif(len(jax.devices()) < N_DEV,
                     reason="needs the 8-device CPU mesh")
+@pytest.mark.slow
 def test_bitpack_backend_shards_over_mesh():
     """The bitpacked bitmaps shard along observations via shard_map and
     must reproduce the unsharded products and Gibbs step."""
@@ -294,6 +301,7 @@ def test_bitpack_backend_shards_over_mesh():
 
 @pytest.mark.skipif(len(jax.devices()) < N_DEV,
                     reason="needs the 8-device CPU mesh")
+@pytest.mark.slow
 @pytest.mark.parametrize("n_obs", [64, 100])  # 100: uneven row blocks
 def test_winell_backend_shards_over_mesh(n_obs):
     """The windowed-ELL backend re-packs per-device observation blocks
@@ -363,6 +371,7 @@ def test_winell_backend_shards_over_mesh(n_obs):
 
 @pytest.mark.skipif(len(jax.devices()) < N_DEV,
                     reason="needs the 8-device CPU mesh")
+@pytest.mark.slow
 def test_bitpack_uneven_obs_pads_float_block():
     """On an uneven observation count the bitpack backend's float block
     must be zero-padded to the mesh and actually row-sharded — NOT

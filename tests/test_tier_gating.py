@@ -86,15 +86,20 @@ def test_probe_cache_is_keyed_by_platform(monkeypatch):
 def test_place_model_demotes_unsupported_int4(monkeypatch):
     """place_model re-validates narrow-dtype leaves against the device
     they move TO and widens S4 to int8 (numerically identical) instead
-    of letting the first jitted call fail on the chip."""
+    of letting the first jitted call fail on the chip. The S4 block is
+    built under a CPU device context (XLA:CPU executes S4; the
+    deployment chip may not) — the exact bench scenario: build on CPU,
+    place on the accelerator."""
     monkeypatch.setenv('BB_HYBRID_INT4', '1')
+    cpu = jax.devices('cpu')[0]
     X = _int4_eligible_csr()
-    design = SparseDesignMatrix(X, dtype=np.float32, backend='hybrid')
-    v = np.random.default_rng(2).standard_normal(design.shape[1])
-    before = np.asarray(design.dot(v))
-    # Force an S4 exact block, then pretend the placement target's
-    # platform cannot execute S4.
-    design.X_exact = design.X_exact.astype(jnp.int4)
+    with jax.default_device(cpu):
+        design = SparseDesignMatrix(X, dtype=np.float32, backend='hybrid')
+        v = np.random.default_rng(2).standard_normal(design.shape[1])
+        before = np.asarray(design.dot(v))
+        # Force an S4 exact block, then pretend the placement target's
+        # platform cannot execute S4.
+        design.X_exact = design.X_exact.astype(jnp.int4)
     monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED',
                         {jax.devices()[0].platform: False})
     with pytest.warns(UserWarning, match='widening a packed-s4'):
@@ -106,14 +111,16 @@ def test_place_model_demotes_unsupported_int4(monkeypatch):
 
 def test_place_model_keeps_supported_int4(monkeypatch):
     """When the target platform does execute S4, placement leaves the
-    packed tier alone."""
+    packed tier alone. Pinned to the CPU device end to end so the test
+    is meaningful on sessions whose default backend rejects S4."""
     monkeypatch.setenv('BB_HYBRID_INT4', '1')
-    design = SparseDesignMatrix(_int4_eligible_csr(), dtype=np.float32,
-                                backend='hybrid')
-    design.X_exact = design.X_exact.astype(jnp.int4)
-    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED',
-                        {jax.devices()[0].platform: True})
-    placed = place_model(design)
+    cpu = jax.devices('cpu')[0]
+    with jax.default_device(cpu):
+        design = SparseDesignMatrix(_int4_eligible_csr(),
+                                    dtype=np.float32, backend='hybrid')
+        design.X_exact = design.X_exact.astype(jnp.int4)
+    monkeypatch.setattr(sparse_mod, '_INT4_SUPPORTED', {'cpu': True})
+    placed = place_model(design, device=cpu)
     assert placed.X_exact.dtype == jnp.int4
 
 
