@@ -189,7 +189,10 @@ def _ne_kernel(*refs, n_blocks, n_rows, meta, mid='ne', with_logp=False):
         @pl.when(i == 0)
         def _():
             lp_ref[:] = jnp.zeros_like(lp_ref)
-        lp_ref[0, 0] += jnp.sum(jnp.where(row < n_rows, lp, 0.0))
+        # Accumulate as a (1, 1) block: Mosaic cannot store scalars to
+        # VMEM (a bare lp_ref[0, 0] += passes only in interpret mode).
+        lp_ref[:] += jnp.sum(
+            jnp.where(row < n_rows, lp, 0.0)).reshape(1, 1)
 
     for b in range(n_blocks):
         n_full, rem, float_pad = meta[b]
