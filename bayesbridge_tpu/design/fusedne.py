@@ -26,6 +26,23 @@ reductions are plain multiply-adds on the VPU: a matvec has no MXU-sized
 second operand, and at one pass per byte the kernel is bandwidth-bound,
 not FLOP-bound.
 
+Reduction shape (round-4 measured dead end): restructured reductions
+were A/B-timed on the v5e against this kernel's shape
+(``baselines/dev_ne_variants.py``): wide (r, 128) phase-A accumulators
+with one lane collapse per panel, per-chunk 8-sublane phase-B folds,
+bf16-split MXU dots for either phase, and a convert-once-to-VMEM
+scratch. Every variant that compiled timed within noise of this shape
+(8.3 ms for a 1.95 GB sweep, ~235 GB/s) or slower (MXU variants 11-12
+ms: chunk-width dots with 1-3-wide outputs waste the systolic array);
+the wide phase-A accumulator fails Mosaic layout verification and the
+f32 scratch panel exceeds the terminal's fixed 16 MiB scoped-vmem cap.
+The sweep is VPU-bound at ~5 ops/element (s8 unpack+convert, multiply,
+reduce in each phase) — only an MXU feed path that converts s8 in the
+dot (what XLA's convert-fused ``dot_general`` emits, ~755 GB/s) beats
+it, and Pallas/Mosaic cannot express that today. Hence the dispatch
+policy below: fusing pays only where one sweep replaces >= 3 composed
+passes.
+
 Padding contract: ``v_b``/``c``/``w`` are zero-padded by the wrapper;
 block regions beyond the stored array hold UNDEFINED bits, so phase A
 masks the ragged lane tail (NaN bit patterns would otherwise poison
