@@ -160,7 +160,11 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         weight = self._pad_obs(jnp.asarray(weight, self.X.dtype))
         if diag_only:
             return jnp.sum(weight[:, None] * self.X ** 2, axis=0)
-        return self.X.T @ (weight[:, None] * self.X)
+        # Wide f32 dots at DEFAULT precision chain partials through
+        # bf16 on TPU; the Fisher product feeds the Cholesky sampler's
+        # precision matrix, so force the f32 decomposition.
+        return jnp.matmul(self.X.T, weight[:, None] * self.X,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def compute_transposed_fisher_info(self, weight, include_intrcpt=False):
         """X diag(weight) X' where `weight` runs over predictors (the
@@ -171,7 +175,8 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         X_main = self.X[:self._n_rows, 1:] if self.intercept_added \
             else self.X[:self._n_rows]
         weight_main = weight[1:] if include_intrcpt else weight
-        result = (X_main * weight_main[None, :]) @ X_main.T
+        result = jnp.matmul(X_main * weight_main[None, :], X_main.T,
+                            precision=jax.lax.Precision.HIGHEST)
         if include_intrcpt:
             result = result + weight[0]
         return result

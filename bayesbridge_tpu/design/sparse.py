@@ -147,9 +147,16 @@ def _chunked_gram(chunk_fn, m, p, w, dtype):
     c = max(256, budget // max(1, 2 * p * itemsize))
     c = min(m, -(-c // 8) * 8)
     k = -(-m // c)
+    # Wide f32 MXU dots at DEFAULT precision chain their partials
+    # through bf16 on TPU (measured 1e-4..2e-3 rel err, while width-1
+    # matvecs are f32-accurate); the Gram feeds the Cholesky sampler's
+    # precision matrix, so force the multi-pass f32 decomposition. Off
+    # the CG hot path — cost is MXU passes over VMEM tiles, HBM
+    # traffic unchanged.
+    hi = jax.lax.Precision.HIGHEST
     if k <= 1:
         Z = chunk_fn(0, m)
-        return Z.T @ (w[:, None] * Z), Z.T @ w
+        return jnp.matmul(Z.T, w[:, None] * Z, precision=hi), Z.T @ w
 
     def body(i, carry):
         G, s = carry
@@ -158,7 +165,8 @@ def _chunked_gram(chunk_fn, m, p, w, dtype):
         wb = jax.lax.dynamic_slice(w, (start,), (c,)) \
             * mask.astype(dtype)
         Z = chunk_fn(start, c)
-        return G + Z.T @ (wb[:, None] * Z), s + Z.T @ wb
+        return (G + jnp.matmul(Z.T, wb[:, None] * Z, precision=hi),
+                s + Z.T @ wb)
 
     init = (jnp.zeros((p, p), dtype), jnp.zeros(p, dtype))
     return jax.lax.fori_loop(0, k, body, init)
@@ -1435,7 +1443,9 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             # designs explicitly constructed with these backends.
             X = self._materialize_dense(main_only=True)
             Xw = weight[:, None] * X
-            G, s1 = X.T @ Xw, X.T @ weight
+            G = jnp.matmul(X.T, Xw,
+                           precision=jax.lax.Precision.HIGHEST)
+            s1 = X.T @ weight
         s0 = jnp.sum(weight)
         if self.centered:
             c = self.column_offset
@@ -1506,7 +1516,8 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         weight_main = weight[1:] if include_intrcpt else weight
         X_main = self._materialize_dense(main_only=True)
         Xc = X_main - self.column_offset[None, :] if self.centered else X_main
-        result = (Xc * weight_main[None, :]) @ Xc.T
+        result = jnp.matmul(Xc * weight_main[None, :], Xc.T,
+                            precision=jax.lax.Precision.HIGHEST)
         if include_intrcpt:
             result = result + weight[0]
         return result

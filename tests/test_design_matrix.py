@@ -394,3 +394,35 @@ def test_cholesky_sampler_large_n_sparse_end_to_end(monkeypatch):
     samples, info = bridge.gibbs(
         n_iter=20, n_burnin=10, coef_sampler_type='cholesky', seed=15)
     assert np.all(np.isfinite(samples['coef']))
+
+
+def test_fisher_gram_f32_accuracy_vs_f64_oracle():
+    """The Fisher Gram must hold f32-level accuracy on EVERY backend
+    device: wide f32 MXU dots at XLA's DEFAULT precision chain their
+    partial sums through bf16 on TPU (measured 1e-4..2e-3 rel err on a
+    v5e, where the width-1 matvec emitter is f32-accurate), which would
+    silently degrade the precision matrix feeding the Cholesky sampler.
+    The Gram products therefore request the HIGHEST-precision f32
+    decomposition; this pins it with n large enough (4096 rows) for
+    bf16 partial-chaining to show. Trivially green on CPU; the teeth
+    are in BB_TEST_ON_TPU=1 runs."""
+    rng = np.random.default_rng(57)
+    n, p = 4096, 96
+    Xd = np.hstack([
+        (rng.uniform(size=(n, p // 2)) < .3).astype(np.float64),
+        rng.standard_normal((n, p // 2)),
+    ])
+    w = rng.exponential(size=n)
+    dense_ref = center_and_add_intercept(Xd)
+    G_ref = dense_ref.T @ (w[:, None] * dense_ref)
+    scale = np.abs(G_ref).max()
+    for design in (
+        SparseDesignMatrix(sps.csr_matrix(Xd), center_predictor=True,
+                           add_intercept=True, backend='hybrid',
+                           dtype=np.float32),
+        DenseDesignMatrix(Xd, center_predictor=True, add_intercept=True,
+                          dtype=np.float32),
+    ):
+        G = np.asarray(design.compute_fisher_info(
+            np.asarray(w, np.float32)), np.float64)
+        assert np.max(np.abs(G - G_ref)) / scale < 1e-5
