@@ -517,8 +517,26 @@ def make_presolve(kind):
             fsq = (Xf * Xf).T @ u3
             return e1, e2, e3, e3, f1, f2, f3, fsq
         U = jnp.stack([u1, u2, u3], axis=1)
-        Re = Xb.T @ U
-        Rf = Xf.T @ U
+        if kind in ('mrhs_hi', 'mrhs_high'):
+            # Wide (rhs > 1) dots on the MXU chain their partial sums
+            # through bf16 at any precision short of HIGHEST — measured
+            # 1.9e-3 rel err that an explicit bf16 hi/lo RHS split with
+            # preferred_element_type=f32 does NOT fix (the rounding is
+            # in the accumulator, not the operands), while the width-1
+            # matvec emitter is f32-accurate (1.3e-7). HIGHEST
+            # (multi-pass decomposition, f32 combination) measures
+            # 9.6e-7 at the same single HBM pass.
+            prec = jax.lax.Precision.HIGHEST if kind == 'mrhs_hi' \
+                else jax.lax.Precision.HIGH
+            Re = jax.lax.dot_general(
+                Xb, U, (((0,), (0,)), ((), ())), precision=prec,
+                preferred_element_type=jnp.float32)
+            Rf = jax.lax.dot_general(
+                Xf, U, (((0,), (0,)), ((), ())), precision=prec,
+                preferred_element_type=jnp.float32)
+        else:
+            Re = Xb.T @ U
+            Rf = Xf.T @ U
         if kind == 'mrhs_sq':
             fsq = Xf2.T @ u3
         else:
@@ -564,23 +582,31 @@ def run_presolve(args):
     gb = (Xe.size + Xf.size * 4) / 1e9
     print(f"presolve A/B: n={n} pe={pe} pf={pf} stored={gb:.2f} GB",
           flush=True)
-    ref = None
-    for kind in ('fused', 'mrhs', 'mrhs_sq', 'seq4'):
+    # Width-1 matvec oracle, one jit per column: the single-rhs TPU
+    # matvec emitter is f32-accurate (1.3e-7, measured) and separate
+    # programs cannot be dot-merged; pulling the multi-GB blocks to
+    # host for a NumPy f64 oracle hangs on the tunnel.
+    mv = jax.jit(lambda X, u: X.astype(jnp.bfloat16).T
+                 @ u if X.dtype == jnp.int8 else X.T @ u)
+    mv_sq = jax.jit(lambda X, u: (X * X).T @ u)
+    ref = [np.asarray(mv(Xe, u), np.float64) for u in (u1, u2, u3)]
+    ref.append(ref[2])  # binary block: squares == values
+    ref += [np.asarray(mv(Xf, u), np.float64) for u in (u1, u2, u3)]
+    ref.append(np.asarray(mv_sq(Xf, u3), np.float64))
+    for kind in ('mrhs_high', 'mrhs_hi', 'mrhs', 'fused', 'seq4'):
         fn = make_presolve(kind)
         print(f"compiling {kind} ...", flush=True)
         try:
             got = fn(Xe, Xf, Xf2, u1, u2, u3)
-            if ref is None:
-                ref = got
-                err = 0.0
-            else:
-                err = max(float(jnp.max(jnp.abs(g - rr))
-                                / (jnp.max(jnp.abs(rr)) + 1e-30))
-                          for g, rr in zip(got, ref))
+            errs = [float(np.max(np.abs(np.asarray(g, np.float64) - rr))
+                          / (np.max(np.abs(rr)) + 1e-30))
+                    for g, rr in zip(got, ref)]
+            err = max(errs)
             t = presolve_time(fn, Xe, Xf, Xf2, u1, u2, u3,
                               args.chain, args.reps)
             print(f"{kind:>9} {t*1e3:8.2f} ms  {gb/t:6.0f} GB/s_1sweep"
-                  f"  rel_err {err:9.1e}", flush=True)
+                  f"  rel_err {err:9.1e}  per-out "
+                  + ' '.join(f'{e:.0e}' for e in errs), flush=True)
         except Exception as e:
             print(f"{kind:>9} FAILED: {type(e).__name__}: "
                   f"{str(e)[:160]}", flush=True)

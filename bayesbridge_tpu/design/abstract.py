@@ -89,6 +89,13 @@ class AbstractDesignMatrix(abc.ABC):
         expressions."""
         return None
 
+    def has_presolve_reductions(self):
+        """True when this design serves `presolve_reductions` with a
+        batched layout cheaper than the composed per-reduction calls
+        (multi-RHS MXU dots or a fused kernel) — the Gibbs CG step
+        routes its pre-solve through it when so."""
+        return False
+
     def presolve_reductions(self, u1, u2, u3):
         """The Gibbs step's three pre-solve design reductions in one
         call: (Tdot(u1), Tdot(u2), fisher_diag(u3)) — the collapsed
@@ -96,7 +103,7 @@ class AbstractDesignMatrix(abc.ABC):
         preconditioner diagonal (reference evaluates these as separate
         CSR passes: reg_coef_sampler.py:60-103 + cg_sampler.py:140-143).
         The default composes them; backends with dense-stored blocks
-        override it with a single-HBM-sweep kernel."""
+        override it with a batched multi-RHS / single-sweep layout."""
         return (self.Tdot(u1), self.Tdot(u2),
                 self.compute_fisher_info(u3, diag_only=True))
 

@@ -73,6 +73,10 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         return (self._n_rows, self.X.shape[1])
 
     @property
+    def dtype(self):
+        return self.X.dtype
+
+    @property
     def is_sparse(self):
         return False
 
@@ -99,8 +103,8 @@ class DenseDesignMatrix(AbstractDesignMatrix):
     def fused_ne_mode(self, kind='quad'):
         """Interpret-flag for the fused one-sweep kernel serving the
         `kind` call site, else None (composed dot/Tdot). The default
-        policy fuses only the pre-solve group — see
-        design/fusedne.dispatch_mode."""
+        policy fuses nothing — see design/fusedne.dispatch_mode for
+        the measured argument."""
         interpret = fusedne.dispatch_mode(kind, self.fused_policy)
         if interpret is None or self._sharded \
                 or self.X.dtype != jnp.float32:
@@ -140,19 +144,39 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         self.Tdot_count += 1
         return logp, outs[0]
 
+    def has_presolve_reductions(self):
+        return True
+
     def presolve_reductions(self, u1, u2, u3):
-        """(Tdot(u1), Tdot(u2), fisher_diag(u3)) in ONE sweep of the
-        stored matrix via the fused reduction kernel (design/fusedne.py
-        fused_tdots); intercept/centering are already materialized in X
-        so the kernel outputs need no corrections."""
+        """(Tdot(u1), Tdot(u2), fisher_diag(u3)) in one batched layout:
+        one multi-RHS MXU dot ``X' @ [u1 u2 u3]`` plus the
+        squared-column matvec ``(X.X)'u3`` (the measured default — the
+        square fuses into the dot's operand read), or ONE sweep via the
+        fused reduction kernel under a 'full'/'1' policy
+        (design/fusedne.py fused_tdots). Intercept/centering are
+        already materialized in X so the outputs need no corrections.
+        The wide dot requests HIGH precision: on TPU the DEFAULT
+        emitter chains MXU partials through bf16 (~2e-3 rel err);
+        HIGH restores f32-grade accuracy at less cost than HIGHEST
+        (measured in baselines/dev_ne_variants.py --presolve)."""
         interpret = self.fused_ne_mode('presolve')
+        dt = self.X.dtype
+        u1, u2, u3 = (jnp.asarray(u, dt) for u in (u1, u2, u3))
         if interpret is None:
-            return super().presolve_reductions(u1, u2, u3)
-        f32 = jnp.float32
+            # Operate on the full stored X (its padded rows are genuine
+            # zeros) with row-padded operands, as Tdot does — slicing a
+            # row-sharded X would break the even sharding.
+            U = jnp.stack([self._pad_obs(u1), self._pad_obs(u2),
+                           self._pad_obs(u3)], axis=1)
+            R = jax.lax.dot_general(
+                self.X, U, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGH,
+                preferred_element_type=dt)
+            sq = (self.X * self.X).T @ U[:, 2]
+            self.Tdot_count += 2
+            return R[:, 0], R[:, 1], sq
         (o1, o2, _, sq), = fusedne.fused_tdots(
-            (self.X[:self._n_rows],), jnp.asarray(u1, f32),
-            jnp.asarray(u2, f32), jnp.asarray(u3, f32),
-            interpret=interpret)
+            (self.X[:self._n_rows],), u1, u2, u3, interpret=interpret)
         self.Tdot_count += 2
         return o1, o2, sq
 

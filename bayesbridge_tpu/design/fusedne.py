@@ -63,28 +63,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 def dispatch_mode(kind='quad', policy=None):
     """Dispatch mode for the fused kernels: None = use the composed
-    dot-then-Tdot path; False = compiled Pallas kernel; True =
-    interpreter.
+    path; False = compiled Pallas kernel; True = interpreter.
 
     `kind` names the call site: 'presolve' (the 3-pass pre-solve
     reduction group), 'quad' (the CG operator X'(w*(Xv))), 'link' (the
-    GLM loglik+gradient). The default policy fuses ONLY 'presolve':
-    an XLA-profiler trace of the flagship chain (BENCH_r03, v5e)
-    measured one fused VPU sweep of the stored blocks at ~2.3x the cost
-    of one composed MXU pass (313 vs ~725 GB/s effective — the VPU
-    multiply-reduce cannot match the MXU's streaming rate), so fusing
-    pays exactly where it replaces >= 3 passes (the pre-solve: 3 -> 1)
-    and loses where it replaces a dot+Tdot pair (2 -> 1).
+    GLM loglik+gradient). The default policy fuses NOTHING — every
+    group lost its fusion case to measurement on the v5e:
 
-    `policy` (first-class, per design — the design classes thread their
-    construction-time ``fused=`` option here, so two designs in one
-    process can run different policies): 'auto' (default — the measured
-    policy above, compiled on TPU, composed elsewhere: the interpreter
-    is far too slow to serve CPU sessions), 'full' (every kind compiled
-    on TPU — the round-3 all-fused data path, for hardware where the
-    sweep runs closer to memory bound), '1' (force all kinds on;
-    interpreted off-TPU, for tests), '0' (force off). When None, the
-    ``BB_FUSED_NE`` env var supplies the default."""
+    - 'quad'/'link': one fused VPU sweep of the stored blocks costs
+      ~2.3x one composed MXU pass (~235-313 vs ~725 GB/s effective;
+      the sweep is VPU-ALU-bound, see the module docstring), so
+      replacing a dot+Tdot pair (2 -> 1 passes) loses.
+    - 'presolve' (fused in round 3, 3 -> 1 passes, ~18.9 ms/iter at
+      flagship scale): superseded in round 4 by the composed
+      multi-RHS layout — ONE HIGHEST-precision MXU dot ``X' @ [u1 u2
+      u3]`` per stored block plus the float block's squared-moment
+      matvec (SparseDesignMatrix._presolve_multirhs) — measured 5.09
+      vs 7.20 ms on the 1.95 GB dev shape, 1.41x the fused sweep,
+      at f32 accuracy (baselines/dev_ne_variants.py --presolve).
+
+    `policy` (first-class, per design — the design classes thread
+    their construction-time ``fused=`` option here, so two designs in
+    one process can run different policies): 'auto' (default — the
+    measured policy above: everything composed), 'full' (every kind
+    compiled on TPU — the round-3 all-fused data path, for hardware
+    where the sweep runs closer to memory bound), '1' (force all
+    kinds on; interpreted off-TPU, for tests), '0' (force off). When
+    None, the ``BB_FUSED_NE`` env var supplies the default."""
     mode = policy if policy is not None \
         else os.environ.get('BB_FUSED_NE', 'auto')
     on_tpu = jax.default_backend() == 'tpu'
@@ -92,9 +97,9 @@ def dispatch_mode(kind='quad', policy=None):
         return None
     if mode == '1':
         return not on_tpu
-    if mode != 'full' and kind != 'presolve':
-        return None
-    return False if on_tpu else None
+    if mode == 'full':
+        return False if on_tpu else None
+    return None
 
 # Lanes reduced per inner step: bounds the f32 up-convert transient to
 # R x _CHUNK x 4 bytes while keeping lane reductions wide.

@@ -429,9 +429,10 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 # saves — one fused sweep moves E + F bytes where the
                 # composed pair over int4 moves 2*(E/2 + F) = E + 2F —
                 # so keep int4 only as a storage rescue. Under the
-                # default policy (quad composed, presolve fused) the
-                # denser int4 tier wins: it halves E on every composed
-                # pass and forfeits only the 3->1 pre-solve fusion.
+                # default all-composed policy the denser int4 tier
+                # wins outright: it halves E on every composed pass
+                # and the multi-RHS pre-solve serves int4 blocks too
+                # (_presolve_multirhs up-converts via _exact_block).
                 alt = min((k for k in costs if k != 'int4'),
                           key=costs.get)
                 if X_csc.shape[0] * costs[alt] <= _HYBRID_MAX_BYTES:
@@ -1269,22 +1270,87 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         self.Tdot_count += 1
         return logp, grad
 
+    def has_presolve_reductions(self):
+        """The hybrid backend serves the batched pre-solve layout (the
+        multi-RHS dot below, or the fused kernel under a 'full'/'1'
+        policy); other sparse backends compose per reduction."""
+        return self.backend == 'hybrid' and self.exact_cols.size > 0
+
+    def _presolve_multirhs(self, u1, u2, u3):
+        """The three pre-solve transpose reductions as ONE multi-RHS
+        MXU dot per stored block — ``X_b' @ [u1 u2 u3]`` — plus each
+        block's squared-column moment: free for a binary exact block
+        (0/1 idempotence reuses column 3), an extra matvec over the
+        float block ((Xf.Xf)'u3, the square fusing into the dot's
+        operand read). Against the reference's three separate CSR
+        passes (reg_coef_sampler.py:60-103 + cg_sampler.py:140-143)
+        this is 1 + float-fraction passes; against the round-3 fused
+        VPU sweep it measured 1.41x faster on the v5e because the MXU
+        streams the blocks at ~755 GB/s where the sweep is VPU-bound
+        (baselines/dev_ne_variants.py --presolve, BASELINE.md).
+
+        Precision: wide (rhs > 1) f32 dots at DEFAULT precision chain
+        MXU partials through bf16 on TPU (~2e-3 rel err), so both
+        dots request HIGH — measured 1.3e-5 vs an accurate oracle at
+        14.0 ms/6.5 GB on the flagship shape, where HIGHEST costs
+        16.2 ms for 7.6e-6 (baselines/dev_ne_variants.py --presolve).
+        Returns (outs, sums) in fused_tdots's layout:
+        per block (X'u1, X'u2, X'u3, (X.X)'u3) plus the three operand
+        sums."""
+        dtype = self.dtype
+        hi = jax.lax.Precision.HIGH
+        Xe = self._exact_block()
+        U = jnp.stack([u1, u2, u3], axis=1)
+        pad = Xe.shape[0] - U.shape[0]
+        U_pad = U if pad == 0 else jnp.pad(U, ((0, pad), (0, 0)))
+        Re = jax.lax.dot_general(
+            Xe, U_pad, (((0,), (0,)), ((), ())), precision=hi,
+            preferred_element_type=dtype)[:self.exact_cols.shape[0]]
+        if getattr(self, 'exact_is_binary', False):
+            sq_e = Re[:, 2]
+        else:
+            if self.X_exact.dtype == jnp.int4:
+                # int4 squares stay <= 64 < 256: exact in bf16.
+                Xe2 = jnp.square(Xe)
+            else:
+                # Integer squares can exceed bf16's exact-int range
+                # (256); square in the working dtype.
+                Xe2 = jnp.square(Xe.astype(dtype))
+            sq_e = (Xe2.T @ U_pad[:, 2])[:self.exact_cols.shape[0]]
+        outs = [(Re[:, 0], Re[:, 1], Re[:, 2], sq_e)]
+        if self.float_cols.size:
+            Xf = self.X_float
+            padf = Xf.shape[0] - U.shape[0]
+            U_padf = U if padf == 0 \
+                else jnp.pad(U, ((0, padf), (0, 0)))
+            Rf = jax.lax.dot_general(
+                Xf, U_padf, (((0,), (0,)), ((), ())), precision=hi,
+                preferred_element_type=dtype)[:self.float_cols.shape[0]]
+            sq_f = ((Xf * Xf).T @ U_padf[:, 2])[:self.float_cols.shape[0]]
+            outs.append((Rf[:, 0], Rf[:, 1], Rf[:, 2], sq_f))
+        sums = [jnp.sum(u) for u in (u1, u2, u3)]
+        return outs, sums
+
     def presolve_reductions(self, u1, u2, u3):
-        """(Tdot(u1), Tdot(u2), fisher_diag(u3)) in ONE sweep of the
-        hybrid blocks via the fused reduction kernel
-        (design/fusedne.py fused_tdots); the intercept, centering, and
+        """(Tdot(u1), Tdot(u2), fisher_diag(u3)) in one batched layout:
+        the composed multi-RHS MXU dots (`_presolve_multirhs`, the
+        measured default) or — under a 'full'/'1' fused policy — ONE
+        sweep of the hybrid blocks via the fused reduction kernel
+        (design/fusedne.py fused_tdots). The intercept, centering, and
         squared-column-moment corrections are assembled from the
-        kernel's per-block outputs exactly as main_Tdot /
-        compute_fisher_diag do."""
+        per-block outputs exactly as main_Tdot / compute_fisher_diag
+        do."""
         interpret = self.fused_ne_mode('presolve')
-        if interpret is None:
+        if interpret is None and not self.has_presolve_reductions():
             return super().presolve_reductions(u1, u2, u3)
         n, p_main = self._shape_main
         u1 = jnp.asarray(u1, self.dtype)
         u2 = jnp.asarray(u2, self.dtype)
         u3 = jnp.asarray(u3, self.dtype)
         has_float = bool(self.float_cols.size)
-        if self._hybrid_shard is not None:
+        if interpret is None:
+            outs, sums = self._presolve_multirhs(u1, u2, u3)
+        elif self._hybrid_shard is not None:
             def local(Xe, Xf, rows, reps):
                 Xs = (Xe, Xf) if Xf is not None else (Xe,)
                 blocks = fusedne.fused_tdots(Xs, *rows,

@@ -53,16 +53,19 @@ def sample_gaussian_posterior(
         # order as sample_gaussian_cg's internal draw) so the three
         # pre-solve design reductions — collapsed observation, noise
         # Tdot, Jacobi diagonal — can go through presolve_reductions,
-        # which fused backends serve with ONE stored-block sweep
-        # (design/fusedne.py fused_tdots); elsewhere the composed
-        # expressions are kept bitwise-identical to the unfused layout.
+        # which capable backends serve with a batched layout (one
+        # multi-RHS MXU dot per stored block, or one fused sweep under
+        # a 'full' policy — design/sparse._presolve_multirhs,
+        # design/fusedne.fused_tdots); elsewhere the composed
+        # expressions are kept bitwise-identical to the unbatched
+        # layout.
         n_obs = design.shape[0]
         k1, k2 = jax.random.split(key)
-        if cg_precond_by == 'diag' \
-                and design.fused_ne_mode('presolve') is not None:
-            # Eligibility implies an f32 design, which is the dtype the
-            # composed path's Tdot output (and thus its eps draw) has.
-            eps_dtype = jnp.float32
+        if cg_precond_by == 'diag' and design.has_presolve_reductions():
+            # Match the composed path's eps dtype (= its Tdot output
+            # dtype) so both branches consume the key stream
+            # identically.
+            eps_dtype = getattr(design, 'dtype', None) or jnp.float32
             eps_obs = jax.random.normal(k1, (n_obs,), eps_dtype)
             eps_prior = jax.random.normal(
                 k2, (design.shape[1],), eps_dtype)

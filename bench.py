@@ -121,11 +121,24 @@ def roofline(design, mean_cg_iter, iters_per_sec):
     n_ops = mean_cg_iter + 1.0      # operator applications in the solve
     quad_fused = design.fused_ne_mode('quad') is not None
     presolve_fused = design.fused_ne_mode('presolve') is not None
-    # Around the solve: the pre-solve reductions (3 composed passes or
-    # 1 fused sweep) plus ONE shared linear-predictor dot (the PG draw
-    # and log-density read the same X @ coef since step.py shares it).
+    presolve_multirhs = (not presolve_fused and not quad_fused
+                         and design.has_presolve_reductions())
+    # Around the solve: the pre-solve reductions (one multi-RHS pass +
+    # the float block's squared-moment matvec in the default layout, 1
+    # fused sweep under 'full', 3 composed passes otherwise) plus ONE
+    # shared linear-predictor dot (the PG draw and log-density read the
+    # same X @ coef since step.py shares it).
+    if presolve_multirhs:
+        float_frac = 0.0
+        if getattr(design, 'backend', None) == 'hybrid' \
+                and design.float_cols.size:
+            float_frac = (design.X_float.size
+                          * design.X_float.dtype.itemsize) / total_bytes
+        presolve_passes = 1.0 + float_frac
+    else:
+        presolve_passes = 1.0 if presolve_fused or quad_fused else 3.0
     passes = (n_ops if quad_fused else 2.0 * n_ops) \
-        + (2.0 if presolve_fused or quad_fused else 4.0)
+        + presolve_passes + 1.0
     bytes_per_iter = passes * total_bytes
     achieved = bytes_per_iter * iters_per_sec / 1e9
     out = {
@@ -133,6 +146,7 @@ def roofline(design, mean_cg_iter, iters_per_sec):
         'design_passes_per_iter': round(passes, 1),
         'fused_quad_active': quad_fused,
         'fused_presolve_active': presolve_fused,
+        'presolve_multirhs_active': presolve_multirhs,
         'bytes_per_iter_gb': round(bytes_per_iter / 1e9, 3),
         'achieved_gb_per_s': round(achieved, 1),
         'hbm_utilization': round(achieved / _PEAK_HBM_GBPS, 3),

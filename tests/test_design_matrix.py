@@ -426,3 +426,84 @@ def test_fisher_gram_f32_accuracy_vs_f64_oracle():
         G = np.asarray(design.compute_fisher_info(
             np.asarray(w, np.float32)), np.float64)
         assert np.max(np.abs(G - G_ref)) / scale < 1e-5
+
+
+@pytest.mark.parametrize('centered', [False, True])
+@pytest.mark.parametrize('intercept', [False, True])
+@pytest.mark.parametrize('values', ['binary', 'categorical'])
+def test_presolve_multirhs_matches_composed(centered, intercept, values):
+    """The hybrid backend's default pre-solve layout — one multi-RHS
+    MXU dot per stored block plus the squared-moment matvec
+    (sparse._presolve_multirhs) — must reproduce the composed
+    (Tdot, Tdot, fisher_diag) including intercept/centering and the
+    non-binary exact-block square."""
+    from bayesbridge_tpu.design.abstract import AbstractDesignMatrix
+    rng = np.random.default_rng(hash((centered, intercept, values))
+                                % 2 ** 31)
+    n = 57
+    if values == 'binary':
+        exact = (rng.uniform(size=(n, 6)) < .3).astype(np.float64)
+    else:
+        exact = rng.integers(0, 5, size=(n, 6)).astype(np.float64)
+    X = sps.csr_matrix(np.hstack(
+        [exact, rng.standard_normal((n, 3)) * 1.3]))
+    design = SparseDesignMatrix(X, center_predictor=centered,
+                                add_intercept=intercept,
+                                backend='hybrid', dtype=np.float32)
+    assert design.has_presolve_reductions()
+    assert design.fused_ne_mode('presolve') is None  # default policy
+    u1 = rng.standard_normal(n).astype(np.float32)
+    u2 = rng.standard_normal(n).astype(np.float32)
+    w = rng.exponential(size=n).astype(np.float32)
+    got = design.presolve_reductions(u1, u2, w)
+    ref = AbstractDesignMatrix.presolve_reductions(design, u1, u2, w)
+    for g, r in zip(got, ref):
+        r = np.asarray(r)
+        np.testing.assert_allclose(np.asarray(g), r, rtol=2e-5,
+                                   atol=2e-5 * np.abs(r).max())
+
+
+def test_dense_presolve_multirhs_matches_composed():
+    from bayesbridge_tpu.design.abstract import AbstractDesignMatrix
+    rng = np.random.default_rng(61)
+    X = rng.standard_normal((43, 12))
+    design = DenseDesignMatrix(X, center_predictor=True,
+                               add_intercept=True, dtype=np.float32)
+    assert design.has_presolve_reductions()
+    n = design.shape[0]
+    u1 = rng.standard_normal(n).astype(np.float32)
+    u2 = rng.standard_normal(n).astype(np.float32)
+    w = rng.exponential(size=n).astype(np.float32)
+    got = design.presolve_reductions(u1, u2, w)
+    ref = AbstractDesignMatrix.presolve_reductions(design, u1, u2, w)
+    for g, r in zip(got, ref):
+        r = np.asarray(r)
+        np.testing.assert_allclose(np.asarray(g), r, rtol=2e-5,
+                                   atol=2e-5 * np.abs(r).max())
+
+
+def test_presolve_multirhs_f64_design():
+    """x64 sessions: the multi-RHS pre-solve must serve an f64-stored
+    hybrid design at f64 numerics (the Gibbs CG gate now routes every
+    capable backend through it, not just fused-eligible f32 ones)."""
+    from bayesbridge_tpu.design.abstract import AbstractDesignMatrix
+    rng = np.random.default_rng(67)
+    n = 48
+    X = sps.csr_matrix(np.hstack([
+        (rng.uniform(size=(n, 5)) < .4).astype(np.float64),
+        rng.standard_normal((n, 3)),
+    ]))
+    design = SparseDesignMatrix(X, center_predictor=True,
+                                add_intercept=True, backend='hybrid',
+                                dtype=np.float64)
+    assert design.has_presolve_reductions()
+    u1 = rng.standard_normal(n)
+    u2 = rng.standard_normal(n)
+    w = rng.exponential(size=n)
+    got = design.presolve_reductions(u1, u2, w)
+    ref = AbstractDesignMatrix.presolve_reductions(design, u1, u2, w)
+    for g, r in zip(got, ref):
+        r = np.asarray(r)
+        assert np.asarray(g).dtype == np.float64
+        np.testing.assert_allclose(np.asarray(g), r, rtol=1e-12,
+                                   atol=1e-12 * np.abs(r).max())
