@@ -62,13 +62,23 @@ class AbstractDesignMatrix(abc.ABC):
     def toarray(self):
         """Materialize as a dense 2-d array (including intercept/centering)."""
 
-    def quad_matvec(self, v, weight):
+    def quad_matvec(self, v, weight, return_t=False):
         """X' (weight * (X v)) — the design part of the CG sampler's
         conditional-precision operator (reference:
-        bayesbridge/reg_coef_sampler/cg_sampler.py:104-113). The default
-        composes the two products; backends with a dense-stored block
-        override it with a fused single-HBM-pass kernel."""
-        return self.Tdot(weight * self.dot(v))
+        bayesbridge/reg_coef_sampler/cg_sampler.py:20-94, the two matvecs
+        at :104-113). The default composes the two products; backends
+        with a dense-stored block may override it with a fused
+        single-HBM-pass kernel.
+
+        `return_t=True` additionally returns the forward intermediate
+        ``t = X v`` (the linear predictor of the operand, intercept and
+        centering included): the CG solver accumulates the final draw's
+        linear predictor from these intermediates so the Gibbs step's
+        observation-precision/log-density predictor costs no extra
+        design pass (see ops/cg.sample_gaussian_cg)."""
+        t = self.dot(v)
+        out = self.Tdot(weight * t)
+        return (out, t) if return_t else out
 
     def cg_blockorder_ctx(self):
         """(perm, unperm, offset_bo) enabling a block-ordered CG solve
@@ -96,16 +106,24 @@ class AbstractDesignMatrix(abc.ABC):
         routes its pre-solve through it when so."""
         return False
 
-    def presolve_reductions(self, u1, u2, u3):
-        """The Gibbs step's three pre-solve design reductions in one
-        call: (Tdot(u1), Tdot(u2), fisher_diag(u3)) — the collapsed
+    def presolve_reductions(self, u1, u2, u3, u4=None):
+        """The Gibbs step's pre-solve design reductions in one call:
+        (Tdot(u1), Tdot(u2), fisher_diag(u3)) — the collapsed
         observation, the CG b-vector noise, and the Jacobi
         preconditioner diagonal (reference evaluates these as separate
         CSR passes: reg_coef_sampler.py:60-103 + cg_sampler.py:140-143).
-        The default composes them; backends with dense-stored blocks
-        override it with a batched multi-RHS / single-sweep layout."""
-        return (self.Tdot(u1), self.Tdot(u2),
+        With `u4` (the CG warm start's weighted linear predictor
+        ``obs_prec * X coef_init``) a fourth transpose reduction
+        Tdot(u4) is appended: on batched-layout backends it rides the
+        same multi-RHS dot, so the warm start's initial-residual
+        operator application costs one forward pass instead of a
+        dot+Tdot pair. The default composes every reduction; backends
+        with dense-stored blocks override with a multi-RHS layout."""
+        outs = (self.Tdot(u1), self.Tdot(u2),
                 self.compute_fisher_info(u3, diag_only=True))
+        if u4 is None:
+            return outs
+        return outs + (self.Tdot(u4),)
 
     # -- bookkeeping ---------------------------------------------------- #
 

@@ -111,14 +111,17 @@ class DenseDesignMatrix(AbstractDesignMatrix):
             return None
         return interpret
 
-    def quad_matvec(self, v, weight):
+    def quad_matvec(self, v, weight, return_t=False):
         """X' (weight * (X v)) in one HBM sweep of the stored matrix via
         the fused normal-equations kernel (design/fusedne.py); the
         intercept/centering are already materialized in X, so the
-        kernel's per-row offset is zero."""
+        kernel's per-row offset is zero. `return_t` (the composed
+        path's forward intermediate) routes through the composed
+        expressions — the fused kernel returns the weighted residual,
+        not the raw predictor."""
         interpret = self.fused_ne_mode('quad')
-        if interpret is None:
-            return super().quad_matvec(v, weight)
+        if interpret is None or return_t:
+            return super().quad_matvec(v, weight, return_t)
         v = jnp.asarray(v, jnp.float32)
         weight = jnp.asarray(weight, jnp.float32)
         out, _ = fusedne.fused_ne_matvec(
@@ -147,38 +150,46 @@ class DenseDesignMatrix(AbstractDesignMatrix):
     def has_presolve_reductions(self):
         return True
 
-    def presolve_reductions(self, u1, u2, u3):
-        """(Tdot(u1), Tdot(u2), fisher_diag(u3)) in one batched layout:
-        one multi-RHS MXU dot ``X' @ [u1 u2 u3]`` plus the
-        squared-column matvec ``(X.X)'u3`` (the measured default — the
-        square fuses into the dot's operand read), or ONE sweep via the
-        fused reduction kernel under a 'full'/'1' policy
-        (design/fusedne.py fused_tdots). Intercept/centering are
-        already materialized in X so the outputs need no corrections.
-        The wide dot requests HIGH precision: on TPU the DEFAULT
-        emitter chains MXU partials through bf16 (~2e-3 rel err);
-        HIGH restores f32-grade accuracy at less cost than HIGHEST
-        (measured in baselines/dev_ne_variants.py --presolve)."""
+    def presolve_reductions(self, u1, u2, u3, u4=None):
+        """(Tdot(u1), Tdot(u2), fisher_diag(u3)[, Tdot(u4)]) in one
+        batched layout: one multi-RHS MXU dot ``X' @ [u1 u2 u3 (u4)]``
+        plus the squared-column matvec ``(X.X)'u3`` (the measured
+        default — the square fuses into the dot's operand read), or ONE
+        sweep via the fused reduction kernel under a 'full'/'1' policy
+        (design/fusedne.py fused_tdots; `u4` then composes as a
+        separate Tdot — the kernel's reduction set is fixed).
+        Intercept/centering are already materialized in X so the
+        outputs need no corrections. The wide dot requests HIGH
+        precision: on TPU the DEFAULT emitter chains MXU partials
+        through bf16 (~2e-3 rel err); HIGH restores f32-grade accuracy
+        at less cost than HIGHEST (measured in
+        baselines/dev_ne_variants.py --presolve)."""
         interpret = self.fused_ne_mode('presolve')
         dt = self.X.dtype
-        u1, u2, u3 = (jnp.asarray(u, dt) for u in (u1, u2, u3))
+        us = [jnp.asarray(u, dt) for u in (u1, u2, u3)
+              + ((u4,) if u4 is not None else ())]
         if interpret is None:
             # Operate on the full stored X (its padded rows are genuine
             # zeros) with row-padded operands, as Tdot does — slicing a
             # row-sharded X would break the even sharding.
-            U = jnp.stack([self._pad_obs(u1), self._pad_obs(u2),
-                           self._pad_obs(u3)], axis=1)
+            U = jnp.stack([self._pad_obs(u) for u in us], axis=1)
             R = jax.lax.dot_general(
                 self.X, U, (((0,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGH,
                 preferred_element_type=dt)
             sq = (self.X * self.X).T @ U[:, 2]
             self.Tdot_count += 2
-            return R[:, 0], R[:, 1], sq
+            if u4 is None:
+                return R[:, 0], R[:, 1], sq
+            self.Tdot_count += 1
+            return R[:, 0], R[:, 1], sq, R[:, 3]
         (o1, o2, _, sq), = fusedne.fused_tdots(
-            (self.X[:self._n_rows],), u1, u2, u3, interpret=interpret)
+            (self.X[:self._n_rows],), us[0], us[1], us[2],
+            interpret=interpret)
         self.Tdot_count += 2
-        return o1, o2, sq
+        if u4 is None:
+            return o1, o2, sq
+        return o1, o2, sq, self.Tdot(us[3])
 
     def compute_fisher_info(self, weight, diag_only=False):
         weight = self._pad_obs(jnp.asarray(weight, self.X.dtype))

@@ -1071,7 +1071,7 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                           out_specs=(P(),) * n_outs, check_vma=False)
         return f(*args)
 
-    def quad_matvec(self, v, weight):
+    def quad_matvec(self, v, weight, return_t=False):
         """X' (weight * (X v)) — the CG operator's design part
         (reference: bayesbridge/reg_coef_sampler/cg_sampler.py:104-113).
         On the hybrid backend BOTH stored blocks are swept ONCE by the
@@ -1079,10 +1079,12 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         less traffic than dot-then-Tdot — the whole operator
         application is a single HBM sweep of the design); the intercept
         and centering fold into the kernel's per-row offset `c` and its
-        returned residual vector `u = weight * (X v)`."""
+        returned residual vector `u = weight * (X v)`. `return_t`
+        routes through the composed expressions — the kernel returns
+        the weighted residual, not the raw predictor."""
         interpret = self.fused_ne_mode('quad')
-        if interpret is None:
-            return super().quad_matvec(v, weight)
+        if interpret is None or return_t:
+            return super().quad_matvec(v, weight, return_t)
         n, p_main = self._shape_main
         v = jnp.asarray(v, self.dtype)
         weight = jnp.asarray(weight, self.dtype)
@@ -1173,11 +1175,16 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             jnp.arange(perm.shape[0], dtype=perm.dtype))
         return perm, unperm, offset_bo
 
-    def quad_matvec_blockorder(self, v_bo, weight, offset_bo):
+    def quad_matvec_blockorder(self, v_bo, weight, offset_bo,
+                               return_t=False):
         """`quad_matvec` on a block-ordered operand: out_bo such that
         out_bo[unperm] == quad_matvec(v_bo[unperm], weight), with the
         column split/reassembly done by static slices instead of
-        per-call gathers/scatters (see `cg_blockorder_ctx`)."""
+        per-call gathers/scatters (see `cg_blockorder_ctx`).
+        `return_t=True` additionally returns the forward intermediate
+        ``t = X v`` (observation order — independent of the column
+        permutation), from which the CG solver accumulates the final
+        draw's linear predictor."""
         n = self._shape_main[0]
         pe_t = self.exact_cols.shape[0]
         v_bo = jnp.asarray(v_bo, self.dtype)
@@ -1205,9 +1212,9 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         main = main - sum_u * offset_bo
         self.dot_count += 1
         self.Tdot_count += 1
-        if self.intercept_added:
-            return jnp.concatenate((sum_u[None], main))
-        return main
+        out = jnp.concatenate((sum_u[None], main)) \
+            if self.intercept_added else main
+        return (out, t) if return_t else out
 
     def fused_link_grad(self, v, a, b, mid):
         """GLM loglik + gradient in ONE sweep of the hybrid blocks:
@@ -1276,31 +1283,35 @@ class SparseDesignMatrix(AbstractDesignMatrix):
         policy); other sparse backends compose per reduction."""
         return self.backend == 'hybrid' and self.exact_cols.size > 0
 
-    def _presolve_multirhs(self, u1, u2, u3):
-        """The three pre-solve transpose reductions as ONE multi-RHS
-        MXU dot per stored block — ``X_b' @ [u1 u2 u3]`` — plus each
-        block's squared-column moment: free for a binary exact block
-        (0/1 idempotence reuses column 3), an extra matvec over the
-        float block ((Xf.Xf)'u3, the square fusing into the dot's
+    def _presolve_multirhs(self, u1, u2, u3, u4=None):
+        """The pre-solve transpose reductions as ONE multi-RHS
+        MXU dot per stored block — ``X_b' @ [u1 u2 u3 (u4)]`` — plus
+        each block's squared-column moment: free for a binary exact
+        block (0/1 idempotence reuses column 3), an extra matvec over
+        the float block ((Xf.Xf)'u3, the square fusing into the dot's
         operand read). Against the reference's three separate CSR
         passes (reg_coef_sampler.py:60-103 + cg_sampler.py:140-143)
         this is 1 + float-fraction passes; against the round-3 fused
         VPU sweep it measured 1.41x faster on the v5e because the MXU
         streams the blocks at ~755 GB/s where the sweep is VPU-bound
-        (baselines/dev_ne_variants.py --presolve, BASELINE.md).
+        (baselines/dev_ne_variants.py --presolve, BASELINE.md). The
+        optional `u4` (the warm start's weighted predictor) widens the
+        same dot by one column — the stored bytes are read no extra
+        time, which is what lets the CG initial residual cost one
+        forward pass instead of a dot+Tdot pair.
 
         Precision: wide (rhs > 1) f32 dots at DEFAULT precision chain
         MXU partials through bf16 on TPU (~2e-3 rel err), so both
         dots request HIGH — measured 1.3e-5 vs an accurate oracle at
         14.0 ms/6.5 GB on the flagship shape, where HIGHEST costs
         16.2 ms for 7.6e-6 (baselines/dev_ne_variants.py --presolve).
-        Returns (outs, sums) in fused_tdots's layout:
-        per block (X'u1, X'u2, X'u3, (X.X)'u3) plus the three operand
-        sums."""
+        Returns (outs, sums) in fused_tdots's layout: per block
+        (X'u1, X'u2, X'u3, (X.X)'u3[, X'u4]) plus the operand sums."""
         dtype = self.dtype
         hi = jax.lax.Precision.HIGH
         Xe = self._exact_block()
-        U = jnp.stack([u1, u2, u3], axis=1)
+        cols = [u1, u2, u3] + ([u4] if u4 is not None else [])
+        U = jnp.stack(cols, axis=1)
         pad = Xe.shape[0] - U.shape[0]
         U_pad = U if pad == 0 else jnp.pad(U, ((0, pad), (0, 0)))
         Re = jax.lax.dot_general(
@@ -1317,7 +1328,10 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 # (256); square in the working dtype.
                 Xe2 = jnp.square(Xe.astype(dtype))
             sq_e = (Xe2.T @ U_pad[:, 2])[:self.exact_cols.shape[0]]
-        outs = [(Re[:, 0], Re[:, 1], Re[:, 2], sq_e)]
+        blk_e = (Re[:, 0], Re[:, 1], Re[:, 2], sq_e)
+        if u4 is not None:
+            blk_e = blk_e + (Re[:, 3],)
+        outs = [blk_e]
         if self.float_cols.size:
             Xf = self.X_float
             padf = Xf.shape[0] - U.shape[0]
@@ -1327,29 +1341,36 @@ class SparseDesignMatrix(AbstractDesignMatrix):
                 Xf, U_padf, (((0,), (0,)), ((), ())), precision=hi,
                 preferred_element_type=dtype)[:self.float_cols.shape[0]]
             sq_f = ((Xf * Xf).T @ U_padf[:, 2])[:self.float_cols.shape[0]]
-            outs.append((Rf[:, 0], Rf[:, 1], Rf[:, 2], sq_f))
-        sums = [jnp.sum(u) for u in (u1, u2, u3)]
+            blk_f = (Rf[:, 0], Rf[:, 1], Rf[:, 2], sq_f)
+            if u4 is not None:
+                blk_f = blk_f + (Rf[:, 3],)
+            outs.append(blk_f)
+        sums = [jnp.sum(u) for u in cols]
         return outs, sums
 
-    def presolve_reductions(self, u1, u2, u3):
-        """(Tdot(u1), Tdot(u2), fisher_diag(u3)) in one batched layout:
-        the composed multi-RHS MXU dots (`_presolve_multirhs`, the
-        measured default) or — under a 'full'/'1' fused policy — ONE
-        sweep of the hybrid blocks via the fused reduction kernel
-        (design/fusedne.py fused_tdots). The intercept, centering, and
+    def presolve_reductions(self, u1, u2, u3, u4=None):
+        """(Tdot(u1), Tdot(u2), fisher_diag(u3)[, Tdot(u4)]) in one
+        batched layout: the composed multi-RHS MXU dots
+        (`_presolve_multirhs`, the measured default) or — under a
+        'full'/'1' fused policy — ONE sweep of the hybrid blocks via
+        the fused reduction kernel (design/fusedne.py fused_tdots;
+        `u4` then composes as a separate Tdot since the kernel's
+        reduction set is fixed). The intercept, centering, and
         squared-column-moment corrections are assembled from the
         per-block outputs exactly as main_Tdot / compute_fisher_diag
         do."""
         interpret = self.fused_ne_mode('presolve')
         if interpret is None and not self.has_presolve_reductions():
-            return super().presolve_reductions(u1, u2, u3)
+            return super().presolve_reductions(u1, u2, u3, u4)
         n, p_main = self._shape_main
         u1 = jnp.asarray(u1, self.dtype)
         u2 = jnp.asarray(u2, self.dtype)
         u3 = jnp.asarray(u3, self.dtype)
+        if u4 is not None:
+            u4 = jnp.asarray(u4, self.dtype)
         has_float = bool(self.float_cols.size)
         if interpret is None:
-            outs, sums = self._presolve_multirhs(u1, u2, u3)
+            outs, sums = self._presolve_multirhs(u1, u2, u3, u4)
         elif self._hybrid_shard is not None:
             def local(Xe, Xf, rows, reps):
                 Xs = (Xe, Xf) if Xf is not None else (Xe,)
@@ -1390,7 +1411,18 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             pert = jnp.concatenate((sums[1][None], pert))
             diag = jnp.concatenate((sums[2][None], diag))
         self.Tdot_count += 2
-        return v, pert, diag
+        if u4 is None:
+            return v, pert, diag
+        if interpret is None:
+            tdot4 = assemble(4) - sums[3] * self.column_offset
+            if self.intercept_added:
+                tdot4 = jnp.concatenate((sums[3][None], tdot4))
+            self.Tdot_count += 1
+        else:
+            # The fused kernel's reduction set is fixed at four;
+            # compose the warm-start column separately.
+            tdot4 = self.Tdot(u4)
+        return v, pert, diag, tdot4
 
     def dot(self, v):
         memo = self._check_memo(v)

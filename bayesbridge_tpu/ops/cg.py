@@ -50,7 +50,8 @@ def choose_diag_preconditioner(design, obs_prec, prior_prec_sqrt):
 
 def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
                        coef_cg_init, precond_scale, maxiter=500, atol=1e-6,
-                       perturbation=None):
+                       perturbation=None, warm_tdot=None, lin_pred0=None,
+                       return_lin_pred=False):
     """One CG-sampled draw.
 
     `perturbation` (optional): the precomputed b-vector noise
@@ -60,7 +61,24 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
     pre-solve path samples the identical Gaussian); when omitted the
     noise is drawn here.
 
-    Returns (coef, info) with info = {'n_iter', 'converged'} as traced
+    `warm_tdot` (optional): the precomputed transpose reduction
+    ``X'(obs_prec * (X coef_cg_init))`` in ORIGINAL column order. The
+    warm start's initial residual needs the operator applied at
+    x0 = coef_cg_init / precond_scale, whose design part depends on
+    coef_cg_init alone (the preconditioner scale cancels) — so the
+    caller can ride this reduction on the pre-solve multi-RHS dot
+    (design.presolve_reductions u4) and the initial residual costs one
+    forward pass instead of a dot+Tdot pair. Supply `lin_pred0 =
+    X coef_cg_init` alongside when `return_lin_pred` is on.
+
+    `return_lin_pred`: additionally return the draw's linear predictor
+    ``X coef``, accumulated inside the loop from the operator's forward
+    intermediates (lin_pred = X x0 + sum_k alpha_k X(s p_k)) — exact in
+    exact arithmetic, so the Gibbs step's observation-precision and
+    log-density updates need no separate design pass.
+
+    Returns (coef, info), or (coef, lin_pred, info) when
+    `return_lin_pred`; info = {'n_cg_iter', 'cg_converged'} as traced
     scalars.
     """
     dtype = z.dtype
@@ -88,12 +106,24 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
         precond_scale = precond_scale[perm]
         precond_prior_prec = precond_prior_prec[perm]
         coef_cg_init = coef_cg_init[perm]
+        if warm_tdot is not None:
+            warm_tdot = warm_tdot[perm]
+
+        def matvec_t(x):
+            out, t = design.quad_matvec_blockorder(
+                precond_scale * x, obs_prec, offset_bo, return_t=True)
+            return precond_prior_prec * x + precond_scale * out, t
 
         def matvec(x):
             return precond_prior_prec * x + precond_scale * \
                 design.quad_matvec_blockorder(
                     precond_scale * x, obs_prec, offset_bo)
     else:
+        def matvec_t(x):
+            out, t = design.quad_matvec(
+                precond_scale * x, obs_prec, return_t=True)
+            return precond_prior_prec * x + precond_scale * out, t
+
         def matvec(x):
             # Phi-tilde x = D P D x + s X' (omega X (s x)) with s the
             # preconditioner scale (cg_sampler.py:104-113). quad_matvec
@@ -103,7 +133,20 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
                 design.quad_matvec(precond_scale * x, obs_prec)
 
     x0 = coef_cg_init / precond_scale
-    r0 = b - matvec(x0)
+    if warm_tdot is not None:
+        # s * x0 = coef_cg_init exactly (up to one rounding), so the
+        # design part of matvec(x0) is the caller-supplied reduction.
+        r0 = b - (precond_prior_prec * x0 + precond_scale * warm_tdot)
+        t0 = lin_pred0
+    elif return_lin_pred:
+        Ax0, t0 = matvec_t(x0)
+        r0 = b - Ax0
+    else:
+        r0 = b - matvec(x0)
+        t0 = None
+    if return_lin_pred and t0 is None:
+        raise ValueError("return_lin_pred with warm_tdot requires "
+                         "lin_pred0 (= X coef_cg_init)")
 
     # Termination mirrors scipy.sparse.linalg.cg with tol = atol/||b||:
     # stop when ||r|| <= atol (cg_sampler.py:74-80). In float32 the
@@ -114,21 +157,37 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
         50.0 * jnp.finfo(dtype).eps * jnp.linalg.norm(b))
 
     def cond(state):
-        x, r, p, rs, n_iter = state
-        return jnp.logical_and(rs > atol ** 2, n_iter < maxiter)
+        return jnp.logical_and(state[3] > atol ** 2, state[4] < maxiter)
 
-    def body(state):
-        x, r, p, rs, n_iter = state
-        Ap = matvec(p)
-        alpha = rs / jnp.vdot(p, Ap)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        rs_new = jnp.vdot(r, r)
-        p = r + (rs_new / rs) * p
-        return x, r, p, rs_new, n_iter + 1
+    if return_lin_pred:
+        def body(state):
+            x, r, p, rs, n_iter, yhat = state
+            Ap, t_p = matvec_t(p)
+            alpha = rs / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            yhat = yhat + alpha * t_p
+            r = r - alpha * Ap
+            rs_new = jnp.vdot(r, r)
+            p = r + (rs_new / rs) * p
+            return x, r, p, rs_new, n_iter + 1, yhat
 
-    init = (x0, r0, r0, jnp.vdot(r0, r0), jnp.zeros((), jnp.int32))
-    x, r, _, rs, n_iter = lax.while_loop(cond, body, init)
+        init = (x0, r0, r0, jnp.vdot(r0, r0), jnp.zeros((), jnp.int32),
+                jnp.asarray(t0, dtype))
+        x, r, _, rs, n_iter, yhat = lax.while_loop(cond, body, init)
+    else:
+        def body(state):
+            x, r, p, rs, n_iter = state
+            Ap = matvec(p)
+            alpha = rs / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rs_new = jnp.vdot(r, r)
+            p = r + (rs_new / rs) * p
+            return x, r, p, rs_new, n_iter + 1
+
+        init = (x0, r0, r0, jnp.vdot(r0, r0), jnp.zeros((), jnp.int32))
+        x, r, _, rs, n_iter = lax.while_loop(cond, body, init)
+        yhat = None
 
     coef = precond_scale * x
     if bo_ctx is not None:
@@ -137,4 +196,6 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
         'n_cg_iter': n_iter,
         'cg_converged': rs <= atol ** 2,
     }
+    if return_lin_pred:
+        return coef, yhat, info
     return coef, info

@@ -59,8 +59,22 @@ def sample_gaussian_posterior(
         # design/fusedne.fused_tdots); elsewhere the composed
         # expressions are kept bitwise-identical to the unbatched
         # layout.
+        #
+        # Two further pass savings when the CG operator runs composed
+        # (the measured default — fused_ne_mode('quad') is None):
+        # (a) the warm start's initial-residual reduction
+        #     X'(w * X coef_init) rides the pre-solve multi-RHS dot as
+        #     a 4th column, so the initial residual costs ONE forward
+        #     pass instead of a dot+Tdot pair;
+        # (b) the draw's linear predictor X coef accumulates inside the
+        #     CG loop from the operator's forward intermediates, so the
+        #     Gibbs step's obs-precision/log-density updates need no
+        #     separate design pass (returned as info['lin_pred']).
         n_obs = design.shape[0]
         k1, k2 = jax.random.split(key)
+        composed_quad = design.fused_ne_mode('quad') is None
+        want_lin_pred = composed_quad
+        lin_pred0 = warm_tdot = None
         if cg_precond_by == 'diag' and design.has_presolve_reductions():
             # Match the composed path's eps dtype (= its Tdot output
             # dtype) so both branches consume the key stream
@@ -69,9 +83,17 @@ def sample_gaussian_posterior(
             eps_obs = jax.random.normal(k1, (n_obs,), eps_dtype)
             eps_prior = jax.random.normal(
                 k2, (design.shape[1],), eps_dtype)
-            v, pert, fisher_diag = design.presolve_reductions(
-                obs_prec * y_gauss, jnp.sqrt(obs_prec) * eps_obs,
-                obs_prec)
+            fold_warm = design.fused_ne_mode('presolve') is None
+            if fold_warm:
+                lin_pred0 = design.dot(coef_init)
+                v, pert, fisher_diag, warm_tdot = \
+                    design.presolve_reductions(
+                        obs_prec * y_gauss, jnp.sqrt(obs_prec) * eps_obs,
+                        obs_prec, obs_prec * lin_pred0)
+            else:
+                v, pert, fisher_diag = design.presolve_reductions(
+                    obs_prec * y_gauss, jnp.sqrt(obs_prec) * eps_obs,
+                    obs_prec)
             precond_scale = 1.0 / jnp.sqrt(
                 prior_prec_sqrt ** 2 + fisher_diag)
         else:
@@ -87,13 +109,20 @@ def sample_gaussian_posterior(
                 coef_sd = estimate_coef_precond_scale_sd(summ_state)
                 precond_scale = choose_preconditioner(
                     prior_prec_sqrt, n_unshrunk, coef_sd)
-        coef, info = sample_gaussian_cg(
+        res = sample_gaussian_cg(
             key, design, obs_prec, prior_prec_sqrt, v,
             coef_cg_init=coef_init, precond_scale=precond_scale,
             maxiter=cg_maxiter,
             atol=1e-5 * np.sqrt(design.shape[1]),
             perturbation=pert + prior_prec_sqrt * eps_prior,
+            warm_tdot=warm_tdot, lin_pred0=lin_pred0,
+            return_lin_pred=want_lin_pred,
         )
+        if want_lin_pred:
+            coef, lin_pred, info = res
+            info = {**info, 'lin_pred': lin_pred}
+        else:
+            coef, info = res
         coef = coef.astype(dtype)  # design dtype -> chain dtype
         summ_state = summarizer_update(
             summ_state, coef, gscale, lscale, n_unshrunk, slab_size)

@@ -256,9 +256,14 @@ def gibbs_step(cfg, model, carry):
                  .astype(jnp.int32)}
     # ONE linear predictor per iteration, shared by the observation
     # precision draw and the log-density (the design's dot is a full
-    # HBM pass of the stored blocks; XLA does not CSE the two).
-    lin_pred = model.design.dot(coef) \
-        if model.name in ('linear', 'logit') else None
+    # HBM pass of the stored blocks; XLA does not CSE the two). The CG
+    # sampler accumulates it from its operator's forward intermediates
+    # (info['lin_pred'], exact in exact arithmetic), in which case the
+    # predictor costs no design pass at all.
+    lin_pred = info.pop('lin_pred', None)
+    if lin_pred is None:
+        lin_pred = model.design.dot(coef) \
+            if model.name in ('linear', 'logit') else None
     obs_prec = update_obs_precision(cfg, model, k_obs, coef, lin_pred)
     gscale, gscale_clamped = update_global_scale(
         cfg, k_gscale, carry['gscale'], coef[cfg.n_unshrunk:])

@@ -104,30 +104,30 @@ def design_storage_bytes(design):
 def roofline(design, mean_cg_iter, iters_per_sec):
     """Bytes/iteration and achieved HBM fraction for the CG Gibbs step.
 
-    Design passes per iteration: the PCG solve applies the operator once
-    per CG iteration plus once for the warm start; around it the step
-    reads the design for the collapsed observation (1 Tdot), the
-    b-vector noise (1 Tdot), the Jacobi preconditioner diagonal
-    (1 pass), and ONE shared linear-predictor dot (the Polya-Gamma draw
-    and the log-density consume the same X @ coef — step.py computes it
-    once). Each operator application is a dot+Tdot pair — EXCEPT when
-    the fused kernels are active (design/fusedne.py): under 'full'
-    dispatch quad_matvec sweeps BOTH hybrid blocks once per
-    application, and under the default policy presolve_reductions folds
-    the collapsed observation + noise Tdot + Jacobi diagonal into one
-    sweep. Vector traffic is negligible at these shapes.
+    Design passes per iteration: the PCG loop applies the operator
+    (a dot+Tdot pair composed, one fused sweep under 'full') once per
+    CG iteration. Around it the step reads the design for the pre-solve
+    reductions — collapsed observation, b-vector noise, Jacobi
+    diagonal, and (in the multi-RHS layout) the warm start's transpose,
+    all riding ONE multi-RHS dot per stored block — plus the warm
+    start's forward pass. The Polya-Gamma draw and log-density consume
+    a linear predictor that the composed CG loop accumulates from its
+    forward intermediates (no pass); only the fused-quad policy pays a
+    separate predictor dot. Vector traffic is negligible at these
+    shapes.
     """
     total_bytes = design_storage_bytes(design)
-    n_ops = mean_cg_iter + 1.0      # operator applications in the solve
     quad_fused = design.fused_ne_mode('quad') is not None
     presolve_fused = design.fused_ne_mode('presolve') is not None
     presolve_multirhs = (not presolve_fused and not quad_fused
                          and design.has_presolve_reductions())
     # Around the solve: the pre-solve reductions (one multi-RHS pass +
     # the float block's squared-moment matvec in the default layout, 1
-    # fused sweep under 'full', 3 composed passes otherwise) plus ONE
-    # shared linear-predictor dot (the PG draw and log-density read the
-    # same X @ coef since step.py shares it).
+    # fused sweep under 'full', 3 composed passes otherwise). Under the
+    # composed operator the warm start's transpose rides the multi-RHS
+    # dot (presolve u4) so the initial residual costs ONE forward pass,
+    # and the shared linear predictor accumulates inside the CG loop —
+    # no separate dot (ops/cg.sample_gaussian_cg, ops/reg_coef.py).
     if presolve_multirhs:
         float_frac = 0.0
         if getattr(design, 'backend', None) == 'hybrid' \
@@ -135,10 +135,19 @@ def roofline(design, mean_cg_iter, iters_per_sec):
             float_frac = (design.X_float.size
                           * design.X_float.dtype.itemsize) / total_bytes
         presolve_passes = 1.0 + float_frac
+        # loop (2 per iter) + warm-start forward (1; its Tdot folded)
+        passes = 2.0 * mean_cg_iter + 1.0 + presolve_passes
+    elif quad_fused:
+        # fused sweeps: one per operator application (loop + warm
+        # start), presolve sweep, separate linear-predictor dot.
+        presolve_passes = 1.0
+        passes = (mean_cg_iter + 1.0) + presolve_passes + 1.0
     else:
-        presolve_passes = 1.0 if presolve_fused or quad_fused else 3.0
-    passes = (n_ops if quad_fused else 2.0 * n_ops) \
-        + presolve_passes + 1.0
+        # composed generic backends: dot+Tdot pairs for loop + warm
+        # start, 3 composed pre-solve passes; the linear predictor
+        # still accumulates inside the loop.
+        presolve_passes = 3.0
+        passes = 2.0 * (mean_cg_iter + 1.0) + presolve_passes
     bytes_per_iter = passes * total_bytes
     achieved = bytes_per_iter * iters_per_sec / 1e9
     out = {

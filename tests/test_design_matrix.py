@@ -455,12 +455,24 @@ def test_presolve_multirhs_matches_composed(centered, intercept, values):
     u1 = rng.standard_normal(n).astype(np.float32)
     u2 = rng.standard_normal(n).astype(np.float32)
     w = rng.exponential(size=n).astype(np.float32)
+    u4 = rng.standard_normal(n).astype(np.float32)
     got = design.presolve_reductions(u1, u2, w)
     ref = AbstractDesignMatrix.presolve_reductions(design, u1, u2, w)
     for g, r in zip(got, ref):
         r = np.asarray(r)
         np.testing.assert_allclose(np.asarray(g), r, rtol=2e-5,
                                    atol=2e-5 * np.abs(r).max())
+    # The 4-column form (warm-start fold): the extra column must equal
+    # a composed Tdot, and the first three outputs must be unchanged.
+    got4 = design.presolve_reductions(u1, u2, w, u4)
+    assert len(got4) == 4
+    for g, r in zip(got4[:3], ref):
+        r = np.asarray(r)
+        np.testing.assert_allclose(np.asarray(g), r, rtol=2e-5,
+                                   atol=2e-5 * np.abs(r).max())
+    r4 = np.asarray(design.Tdot(u4))
+    np.testing.assert_allclose(np.asarray(got4[3]), r4, rtol=2e-5,
+                               atol=2e-5 * np.abs(r4).max())
 
 
 def test_dense_presolve_multirhs_matches_composed():
@@ -474,12 +486,54 @@ def test_dense_presolve_multirhs_matches_composed():
     u1 = rng.standard_normal(n).astype(np.float32)
     u2 = rng.standard_normal(n).astype(np.float32)
     w = rng.exponential(size=n).astype(np.float32)
+    u4 = rng.standard_normal(n).astype(np.float32)
     got = design.presolve_reductions(u1, u2, w)
     ref = AbstractDesignMatrix.presolve_reductions(design, u1, u2, w)
     for g, r in zip(got, ref):
         r = np.asarray(r)
         np.testing.assert_allclose(np.asarray(g), r, rtol=2e-5,
                                    atol=2e-5 * np.abs(r).max())
+    got4 = design.presolve_reductions(u1, u2, w, u4)
+    assert len(got4) == 4
+    for g, r in zip(got4[:3], ref):
+        r = np.asarray(r)
+        np.testing.assert_allclose(np.asarray(g), r, rtol=2e-5,
+                                   atol=2e-5 * np.abs(r).max())
+    r4 = np.asarray(design.Tdot(u4))
+    np.testing.assert_allclose(np.asarray(got4[3]), r4, rtol=2e-5,
+                               atol=2e-5 * np.abs(r4).max())
+
+
+@pytest.mark.parametrize('backend', ['hybrid', 'ell'])
+def test_quad_matvec_return_t(backend):
+    """quad_matvec(return_t=True) must return the raw forward
+    intermediate t = X v (intercept + centering included) alongside the
+    unchanged operator output — the CG solver accumulates the draw's
+    linear predictor from these."""
+    rng = np.random.default_rng(7)
+    n, p = 41, 9
+    Xd = (rng.uniform(size=(n, p)) < .4) * rng.integers(1, 3, (n, p))
+    design = SparseDesignMatrix(sps.csr_matrix(Xd.astype(np.float64)),
+                                center_predictor=True, add_intercept=True,
+                                backend=backend, dtype=np.float32)
+    v = rng.standard_normal(design.shape[1]).astype(np.float32)
+    w = rng.exponential(size=n).astype(np.float32)
+    out_plain = np.asarray(design.quad_matvec(v, w))
+    out, t = design.quad_matvec(v, w, return_t=True)
+    np.testing.assert_allclose(np.asarray(out), out_plain, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(design.dot(v)),
+                               rtol=1e-5, atol=1e-5)
+    if backend == 'hybrid':
+        ctx = design.cg_blockorder_ctx()
+        assert ctx is not None
+        perm, unperm, offset_bo = ctx
+        out_bo, t_bo = design.quad_matvec_blockorder(
+            v[np.asarray(perm)], w, offset_bo, return_t=True)
+        np.testing.assert_allclose(
+            np.asarray(out_bo)[np.asarray(unperm)], out_plain,
+            rtol=1e-5, atol=1e-5 * np.abs(out_plain).max())
+        np.testing.assert_allclose(np.asarray(t_bo), np.asarray(t),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_presolve_multirhs_f64_design():

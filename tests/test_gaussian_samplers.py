@@ -83,6 +83,52 @@ def test_cg_sampler_matches_dense_algebra():
                                rtol=1e-6, atol=1e-8)
 
 
+def test_cg_warm_fold_and_lin_pred_match_plain_solve():
+    """The warm-start fold (`warm_tdot` precomputed via the pre-solve
+    multi-RHS dot) and the in-loop linear-predictor accumulation must
+    reproduce the plain solve: same key -> same draw (up to solver
+    rounding), and lin_pred == X @ draw."""
+    design, X, w, pps, z, Sigma = _setup(4, sparse=True)
+    key = jax.random.key(11)
+    p1 = X.shape[1]
+    rng = np.random.default_rng(5)
+    coef_init = jnp.asarray(rng.standard_normal(p1) * .1)
+    precond_scale = jnp.asarray(1.0 / pps)
+
+    plain, info_plain = sample_gaussian_cg(
+        key, design, jnp.asarray(w), jnp.asarray(pps), jnp.asarray(z),
+        coef_cg_init=coef_init, precond_scale=precond_scale,
+        maxiter=500, atol=1e-10)
+
+    lin0 = design.dot(coef_init)
+    *_, warm_tdot = design.presolve_reductions(
+        jnp.asarray(w), jnp.asarray(w), jnp.asarray(w),
+        jnp.asarray(w) * lin0)
+    folded, lin_pred, info_folded = sample_gaussian_cg(
+        key, design, jnp.asarray(w), jnp.asarray(pps), jnp.asarray(z),
+        coef_cg_init=coef_init, precond_scale=precond_scale,
+        maxiter=500, atol=1e-10, warm_tdot=warm_tdot, lin_pred0=lin0,
+        return_lin_pred=True)
+    assert bool(info_folded['cg_converged'])
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(plain),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(lin_pred),
+                               np.asarray(design.dot(folded)),
+                               rtol=1e-6, atol=1e-9)
+
+    # Without the fold, return_lin_pred alone must also accumulate the
+    # predictor of the returned draw.
+    draw2, lin2, _ = sample_gaussian_cg(
+        key, design, jnp.asarray(w), jnp.asarray(pps), jnp.asarray(z),
+        coef_cg_init=coef_init, precond_scale=precond_scale,
+        maxiter=500, atol=1e-10, return_lin_pred=True)
+    np.testing.assert_allclose(np.asarray(draw2), np.asarray(plain),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(lin2),
+                               np.asarray(design.dot(draw2)),
+                               rtol=1e-6, atol=1e-9)
+
+
 def test_cg_iteration_count_benefits_from_preconditioning():
     """The prior preconditioner should solve heavily shrunk systems in
     far fewer iterations than the unpreconditioned solver."""
