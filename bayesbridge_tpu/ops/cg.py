@@ -165,14 +165,20 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
             Ap, t_p = matvec_t(p)
             alpha = rs / jnp.vdot(p, Ap)
             x = x + alpha * p
-            yhat = yhat + alpha * t_p
+            # The forward intermediate follows the design's compute
+            # dtype, which can be wider than the solve dtype (f32 chain
+            # over an f64-stored design); keep the carry type-stable.
+            yhat = yhat + alpha * t_p.astype(yhat.dtype)
             r = r - alpha * Ap
             rs_new = jnp.vdot(r, r)
             p = r + (rs_new / rs) * p
             return x, r, p, rs_new, n_iter + 1, yhat
 
+        # The loop computes in the residual's dtype (it follows the
+        # preconditioner's, which can be wider than the solve inputs'
+        # when an x64 session wraps an f32-stored design).
         init = (x0, r0, r0, jnp.vdot(r0, r0), jnp.zeros((), jnp.int32),
-                jnp.asarray(t0, dtype))
+                jnp.asarray(t0, r0.dtype))
         x, r, _, rs, n_iter, yhat = lax.while_loop(cond, body, init)
     else:
         def body(state):
