@@ -21,6 +21,7 @@ and surfaced as `n_cg_iter` (gibbs_util.py:147-149).
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.scipy.linalg import cho_factor, cho_solve
 
 
 def choose_preconditioner(prior_prec_sqrt, n_unshrunk, coef_scaled_sd,
@@ -51,7 +52,7 @@ def choose_diag_preconditioner(design, obs_prec, prior_prec_sqrt):
 def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
                        coef_cg_init, precond_scale, maxiter=500, atol=1e-6,
                        perturbation=None, warm_tdot=None, lin_pred0=None,
-                       return_lin_pred=False):
+                       return_lin_pred=False, recycled_basis=None):
     """One CG-sampled draw.
 
     `perturbation` (optional): the precomputed b-vector noise
@@ -76,6 +77,22 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
     intermediates (lin_pred = X x0 + sum_k alpha_k X(s p_k)) — exact in
     exact arithmetic, so the Gibbs step's observation-precision and
     log-density updates need no separate design pass.
+
+    `recycled_basis` ((k, p), original coef space): a deflation basis
+    recycled from the PREVIOUS draw's Krylov residuals. The solve maps
+    it into this draw's preconditioned space, orthonormalizes (QR),
+    Galerkin-projects the initial guess (x0 += Q (Q'AQ)^-1 Q'r0), and
+    A-conjugate-projects every search direction against it (deflated
+    PCG) — the Gibbs chain's conditional-precision operators change
+    slowly in their troublesome directions (the data geometry), so the
+    recycled subspace removes them from the Krylov iteration. Upkeep is
+    ONE multi-RHS dot+Tdot pair per draw (`design.quad_matmat*` — the k
+    columns ride a single stored-block HBM pass), so the net pass win
+    is (iters_saved - 1) pairs; measured at dev sizes the deflated
+    variant saves 2-3 iterations (baselines/dev_deflation.py,
+    BASELINE.md). The updated basis is returned as
+    info['recycled_basis'] (same shape/space). Requires a backend with
+    `has_quad_matmat()` (dense, unsharded hybrid).
 
     Returns (coef, info), or (coef, lin_pred, info) when
     `return_lin_pred`; info = {'n_cg_iter', 'cg_converged'} as traced
@@ -148,6 +165,56 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
         raise ValueError("return_lin_pred with warm_tdot requires "
                          "lin_pred0 (= X coef_cg_init)")
 
+    use_basis = recycled_basis is not None
+    if use_basis:
+        k_basis = recycled_basis.shape[0]
+        Wb = jnp.asarray(recycled_basis, r0.dtype)
+        if bo_ctx is not None:
+            Wb = jnp.take(Wb, perm, axis=1)
+        # Rows live in coef space (s_prev * r_prev); this draw's
+        # x-space direction for coef w is w / s_new.
+        Wb = Wb / precond_scale[None, :].astype(r0.dtype)
+        Q, _ = jnp.linalg.qr(Wb.T)  # (p, k) orthonormal columns
+
+        if bo_ctx is not None:
+            def matmat_t(V):
+                out, t = design.quad_matmat_blockorder(
+                    precond_scale[:, None] * V, obs_prec, offset_bo,
+                    return_t=True)
+                return (precond_prior_prec[:, None] * V
+                        + precond_scale[:, None] * out.astype(V.dtype)), t
+        else:
+            def matmat_t(V):
+                out, t = design.quad_matmat(
+                    precond_scale[:, None] * V, obs_prec, return_t=True)
+                return (precond_prior_prec[:, None] * V
+                        + precond_scale[:, None] * out.astype(V.dtype)), t
+
+        # Upkeep: ONE multi-RHS dot+Tdot pair for all k columns.
+        AQ, TQ = matmat_t(Q)
+        # G is SPD without regularization: QR returns orthonormal Q
+        # even for a rank-deficient input, and A is SPD. A ridge here
+        # is NOT harmless — it leaves a permanent W-component in the
+        # residual that the deflated iteration can never remove, so
+        # the solve stalls above atol and destabilizes at maxiter
+        # (measured: f64 dev case diverged to 1e152 with a 1e-6 ridge).
+        G = Q.T @ AQ
+        cho = cho_factor(G)
+        # Galerkin init-projection of the warm start.
+        c0 = cho_solve(cho, Q.T @ r0)
+        x0 = x0 + Q @ c0
+        r0 = r0 - AQ @ c0
+        if t0 is not None:
+            # lin_pred shift of the projected start: X(s (Q c0)).
+            t0 = jnp.asarray(t0)
+            t0 = t0 + (TQ @ c0).astype(t0.dtype)
+
+        def deflate(v):
+            """A-conjugate-project v against the recycled subspace."""
+            return v - Q @ cho_solve(cho, AQ.T @ v)
+
+        B0 = Q.T  # slots not overwritten keep the recycled directions
+
     # Termination mirrors scipy.sparse.linalg.cg with tol = atol/||b||:
     # stop when ||r|| <= atol (cg_sampler.py:74-80). In float32 the
     # achievable residual is floored at ~50 eps * ||b||, so the threshold
@@ -159,9 +226,14 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
     def cond(state):
         return jnp.logical_and(state[3] > atol ** 2, state[4] < maxiter)
 
+    p0 = deflate(r0) if use_basis else r0
+    basis_new = None
     if return_lin_pred:
         def body(state):
-            x, r, p, rs, n_iter, yhat = state
+            if use_basis:
+                x, r, p, rs, n_iter, yhat, B = state
+            else:
+                x, r, p, rs, n_iter, yhat = state
             Ap, t_p = matvec_t(p)
             alpha = rs / jnp.vdot(p, Ap)
             x = x + alpha * p
@@ -172,28 +244,56 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
             r = r - alpha * Ap
             rs_new = jnp.vdot(r, r)
             p = r + (rs_new / rs) * p
+            if use_basis:
+                p = deflate(p)
+                B = _basis_update(B, r, rs_new, n_iter, k_basis)
+                return x, r, p, rs_new, n_iter + 1, yhat, B
             return x, r, p, rs_new, n_iter + 1, yhat
 
         # The loop computes in the residual's dtype (it follows the
         # preconditioner's, which can be wider than the solve inputs'
         # when an x64 session wraps an f32-stored design).
-        init = (x0, r0, r0, jnp.vdot(r0, r0), jnp.zeros((), jnp.int32),
+        init = (x0, r0, p0, jnp.vdot(r0, r0), jnp.zeros((), jnp.int32),
                 jnp.asarray(t0, r0.dtype))
-        x, r, _, rs, n_iter, yhat = lax.while_loop(cond, body, init)
+        if use_basis:
+            init = init + (B0,)
+            x, r, _, rs, n_iter, yhat, B_out = \
+                lax.while_loop(cond, body, init)
+        else:
+            x, r, _, rs, n_iter, yhat = lax.while_loop(cond, body, init)
     else:
         def body(state):
-            x, r, p, rs, n_iter = state
+            if use_basis:
+                x, r, p, rs, n_iter, B = state
+            else:
+                x, r, p, rs, n_iter = state
             Ap = matvec(p)
             alpha = rs / jnp.vdot(p, Ap)
             x = x + alpha * p
             r = r - alpha * Ap
             rs_new = jnp.vdot(r, r)
             p = r + (rs_new / rs) * p
+            if use_basis:
+                p = deflate(p)
+                B = _basis_update(B, r, rs_new, n_iter, k_basis)
+                return x, r, p, rs_new, n_iter + 1, B
             return x, r, p, rs_new, n_iter + 1
 
-        init = (x0, r0, r0, jnp.vdot(r0, r0), jnp.zeros((), jnp.int32))
-        x, r, _, rs, n_iter = lax.while_loop(cond, body, init)
+        init = (x0, r0, p0, jnp.vdot(r0, r0), jnp.zeros((), jnp.int32))
+        if use_basis:
+            init = init + (B0,)
+            x, r, _, rs, n_iter, B_out = lax.while_loop(cond, body, init)
+        else:
+            x, r, _, rs, n_iter = lax.while_loop(cond, body, init)
         yhat = None
+
+    if use_basis:
+        # Back to coef space (w = s * direction), original column order,
+        # carry dtype.
+        basis_new = B_out * precond_scale[None, :].astype(B_out.dtype)
+        if bo_ctx is not None:
+            basis_new = jnp.take(basis_new, unperm, axis=1)
+        basis_new = basis_new.astype(recycled_basis.dtype)
 
     coef = precond_scale * x
     if bo_ctx is not None:
@@ -202,6 +302,20 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
         'n_cg_iter': n_iter,
         'cg_converged': rs <= atol ** 2,
     }
+    if use_basis:
+        info['recycled_basis'] = basis_new
     if return_lin_pred:
         return coef, yhat, info
     return coef, info
+
+
+def _basis_update(B, r, rs_new, n_iter, k_basis):
+    """Write the normalized residual into the rolling (k, p) buffer at
+    slot n_iter mod k (newest-k window, matching the recycled-basis
+    policy measured in baselines/dev_deflation.py)."""
+    rnorm = jnp.sqrt(rs_new)
+    row = jnp.where(rnorm > 0,
+                    r / jnp.maximum(rnorm, jnp.finfo(r.dtype).tiny), 0.0)
+    return lax.dynamic_update_slice(
+        B, row[None, :].astype(B.dtype),
+        (jnp.mod(n_iter, k_basis), jnp.zeros((), n_iter.dtype)))
