@@ -534,17 +534,25 @@ class BayesBridge:
                 self.prior_sd_for_unshrunk, self.dtype)
         return self._cfg_cache[key]
 
+    # The recycled CG deflation basis ('cg_basis') is part of the
+    # sampler state: dropping it across gibbs_resume would silently
+    # restart deflation from the zero basis and break exact resume
+    # (the basis steers the CG path, so the resumed draws would differ
+    # from an uninterrupted chain by up to the solver tolerance).
+    _SAMPLER_STATE_KEYS = ('hmc_adapter', 'stab_buffer', 'stab_n',
+                           'cg_basis')
+
     def _extract_sampler_state(self, carry):
         state = {'summ': carry['summ']}
-        for key in ('hmc_adapter', 'stab_buffer', 'stab_n'):
+        for key in self._SAMPLER_STATE_KEYS:
             if key in carry:
                 state[key] = carry[key]
         return state
 
     def _restore_sampler_state(self, carry, state):
         carry = {**carry, 'summ': state['summ']}
-        for key in ('hmc_adapter', 'stab_buffer', 'stab_n'):
-            if key in state:
+        for key in self._SAMPLER_STATE_KEYS:
+            if key in state and key in carry:
                 carry[key] = state[key]
         return carry
 
