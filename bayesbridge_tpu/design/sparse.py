@@ -108,6 +108,14 @@ def _int4_matmul_supported(device=None):
     *hanging* transfer cannot be probed safely) that auto-select must
     never pick a representation the deployment chip cannot execute.
     With the flag unset this returns False without touching the device.
+
+    Keep-or-cut criterion (VERDICT r4 #6): no runtime this project can
+    reach executes packed S4 today, so the tier is unproven weight. It
+    stays while it remains opt-in + demotion-safe + covered by
+    tests/test_tier_gating.py; CUT the tier (keeping those tests as the
+    regression record for the gating logic) in the first round where an
+    S4-capable runtime is available and the tier still does not beat
+    int8 at the flagship shape there.
     """
     if os.environ.get('BB_HYBRID_INT4', '0') != '1':
         return False

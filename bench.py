@@ -206,7 +206,13 @@ def measured_roofline(bridge, warm_info, n_iter):
         'n_iter_traced': n_iter,
         'trace_wall_s': round(wall_s, 2),
         'device_busy_ms_per_iter': round(total_us / 1e3 / n_iter, 3),
-        'device_idle_fraction':
+        # Idle fraction OF THE TRACED RUN ONLY: under the profiler the
+        # resume path dispatches per-iteration from the host, so the
+        # traced wall clock is ~16x the timed run's. In the timed
+        # steady state the per-iter wall equals device_busy_ms_per_iter
+        # (device-bound); this field must NOT be quoted as "the chip is
+        # idle in production".
+        'trace_mode_idle_fraction':
             round(idle_us / (idle_us + total_us), 3),
         'measured_mean_memory_bw_gbps': round(mean_bw, 1),
         'measured_hbm_utilization': round(mean_bw / _PEAK_HBM_GBPS, 3),
@@ -505,6 +511,11 @@ def main():
         'unit': 'iter/s',
         'vs_baseline': round(tpu_rate / np_rate, 2),
         'baseline_source': np_info.get('source', 'live'),
+        # Statistical throughput — what a user actually buys. iter/s is
+        # the hardware proxy; median per-coefficient ESS/sec (fixed
+        # 200-coef subset, Geyer initial-sequence estimator) is the
+        # tracked headline alongside it (VERDICT r4 #5).
+        'ess_per_sec': tpu_info['median_coef_ess_per_sec'],
     }
     print(json.dumps(result), flush=True)
 
