@@ -527,7 +527,8 @@ class BayesBridge:
         key = (options.coef_sampler_type, options.gscale_update,
                options.curvature_est_stabilized,
                getattr(options, 'cg_preconditioner', 'diag'),
-               getattr(options, 'cg_recycled_basis', 0))
+               getattr(options, 'cg_recycled_basis', 0),
+               getattr(options, 'cg_atol_multiplier', 1.0))
         if key not in self._cfg_cache:
             self._cfg_cache[key] = step_mod.GibbsStepConfig(
                 self.model, self.prior, options, self.n_unshrunk,

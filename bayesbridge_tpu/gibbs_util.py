@@ -19,7 +19,8 @@ class SamplerOptions:
                  global_scale_update='sample',
                  hmc_curvature_est_stabilized=False,
                  cg_preconditioner='diag',
-                 cg_recycled_basis=0):
+                 cg_recycled_basis=0,
+                 cg_atol_multiplier=1.0):
         """
         Parameters
         ----------
@@ -41,6 +42,15 @@ class SamplerOptions:
             (baselines/dev_deflation.py). Applied only on backends with
             a batched multi-RHS operator (dense, unsharded hybrid);
             ignored elsewhere. 0 (default) = plain PCG.
+        cg_atol_multiplier : float
+            Scales the CG stopping tolerance relative to the
+            reference's rule atol = 1e-5 * sqrt(n_pred)
+            (reg_coef_sampler.py:95-96). 1.0 (default) reproduces the
+            reference budget; >1 trades per-draw solve accuracy for
+            iterations (the draw remains a valid MCMC proposal — the
+            solve error acts like extra preconditioner noise — but
+            beyond ~100x it measurably degrades ESS/sec; see the
+            BASELINE.md tolerance-vs-ESS table).
         """
         if coef_sampler_type not in ('cholesky', 'cg', 'hmc', 'nuts'):
             raise ValueError("Unsupported regression coefficient sampler.")
@@ -49,11 +59,15 @@ class SamplerOptions:
         cg_recycled_basis = int(cg_recycled_basis)
         if cg_recycled_basis < 0:
             raise ValueError("cg_recycled_basis must be >= 0.")
+        cg_atol_multiplier = float(cg_atol_multiplier)
+        if not cg_atol_multiplier > 0:
+            raise ValueError("cg_atol_multiplier must be > 0.")
         self.coef_sampler_type = coef_sampler_type
         self.gscale_update = global_scale_update
         self.curvature_est_stabilized = hmc_curvature_est_stabilized
         self.cg_preconditioner = cg_preconditioner
         self.cg_recycled_basis = cg_recycled_basis
+        self.cg_atol_multiplier = cg_atol_multiplier
 
     def get_info(self):
         return {
@@ -62,6 +76,7 @@ class SamplerOptions:
             'hmc_curvature_est_stabilized': self.curvature_est_stabilized,
             'cg_preconditioner': self.cg_preconditioner,
             'cg_recycled_basis': self.cg_recycled_basis,
+            'cg_atol_multiplier': self.cg_atol_multiplier,
         }
 
     @staticmethod

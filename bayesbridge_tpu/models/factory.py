@@ -39,7 +39,7 @@ _BUILDERS = {'linear': _build_linear, 'logit': _build_logit}
 
 def RegressionModel(outcome, X, family='linear',
                     add_intercept=None, center_predictor=True, dtype=None,
-                    fused=None):
+                    fused=None, backend=None):
     """Package raw (outcome, X) data as a likelihood model for BayesBridge.
 
     Parameters
@@ -64,6 +64,10 @@ def RegressionModel(outcome, X, family='linear',
         ``design.fusedne.dispatch_mode``). Per-design — two models in
         one process can run different policies. Defaults to the
         ``BB_FUSED_NE`` env var.
+    backend : optional sparse-storage backend override
+        ('auto' | 'hybrid' | 'bitpack' | 'winell' | 'ell'); None (the
+        default) lets the design's byte-budget auto-select choose.
+        Ignored for dense X.
     """
     if family == 'cox':
         if add_intercept:
@@ -71,7 +75,8 @@ def RegressionModel(outcome, X, family='linear',
                  "won't be added.")
         event_time, censoring_time, X = CoxModel.preprocess_data(
             outcome[0], outcome[1], X)
-        design = _make_design(X, False, center_predictor, dtype, fused)
+        design = _make_design(X, False, center_predictor, dtype, fused,
+                              backend)
         return CoxModel(event_time, censoring_time, design)
 
     builder = _BUILDERS.get(family)
@@ -79,12 +84,20 @@ def RegressionModel(outcome, X, family='linear',
         raise NotImplementedError(family)
     design = _make_design(
         X, True if add_intercept is None else add_intercept,
-        center_predictor, dtype, fused)
+        center_predictor, dtype, fused, backend)
     return builder(outcome, design)
 
 
-def _make_design(X, add_intercept, center_predictor, dtype, fused=None):
-    cls = SparseDesignMatrix if sps.issparse(X) else DenseDesignMatrix
-    return cls(X, add_intercept=add_intercept,
-               center_predictor=center_predictor, dtype=dtype,
-               fused=fused)
+def _make_design(X, add_intercept, center_predictor, dtype, fused=None,
+                 backend=None):
+    if sps.issparse(X):
+        return SparseDesignMatrix(
+            X, add_intercept=add_intercept,
+            center_predictor=center_predictor, dtype=dtype, fused=fused,
+            backend=backend if backend is not None else 'auto')
+    if backend not in (None, 'auto'):
+        warn("backend='{}' is a sparse-storage option; dense X stores "
+             "as one device block.".format(backend))
+    return DenseDesignMatrix(X, add_intercept=add_intercept,
+                             center_predictor=center_predictor,
+                             dtype=dtype, fused=fused)

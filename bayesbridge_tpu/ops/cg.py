@@ -167,6 +167,18 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
 
     use_basis = recycled_basis is not None
     if use_basis:
+        # All deflation algebra runs at HIGHEST matmul precision: the
+        # default TPU precision chains MXU partials through bf16, which
+        # breaks the REQUIRED consistency G == Q'(AQ) between the
+        # Galerkin system and the projector (observed on-chip: bf16
+        # cross-terms drive cho_factor(G) to NaN and the chain
+        # poisons). These are (p, k) dots with k ~ 8 — free next to
+        # the design pass.
+        hiQ = lax.Precision.HIGHEST
+
+        def mm(a, b):
+            return jnp.matmul(a, b, precision=hiQ)
+
         k_basis = recycled_basis.shape[0]
         Wb = jnp.asarray(recycled_basis, r0.dtype)
         if bo_ctx is not None:
@@ -175,6 +187,12 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
         # x-space direction for coef w is w / s_new.
         Wb = Wb / precond_scale[None, :].astype(r0.dtype)
         Q, _ = jnp.linalg.qr(Wb.T)  # (p, k) orthonormal columns
+        # The TPU QR factors at default (bf16-chained) precision, so
+        # Q'Q - I lands around 1e-3; one modified-Gram-Schmidt polish
+        # at HIGHEST precision restores ~f32 orthonormality, which the
+        # Galerkin projection needs to actually remove the recycled
+        # directions from the residual.
+        Q = _mgs_polish(Q)
 
         if bo_ctx is not None:
             def matmat_t(V):
@@ -198,20 +216,35 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
         # residual that the deflated iteration can never remove, so
         # the solve stalls above atol and destabilizes at maxiter
         # (measured: f64 dev case diverged to 1e152 with a 1e-6 ridge).
-        G = Q.T @ AQ
+        # Symmetrize: G's off-diagonal rounding asymmetry feeds
+        # cho_factor's triangular reads directly.
+        G = mm(Q.T, AQ)
+        G = 0.5 * (G + G.T)
         cho = cho_factor(G)
+        # Safety valve: if the factorization degenerates (a collapsed
+        # basis, an extreme operator), every projection coefficient is
+        # zeroed — the solve falls back to PLAIN preconditioned CG for
+        # this draw instead of poisoning the chain with NaN. The basis
+        # buffer still refills from this draw's residuals.
+        cho_ok = jnp.all(jnp.isfinite(cho[0]))
+
+        def csolve(v):
+            c = cho_solve((jnp.where(cho_ok, cho[0], jnp.eye(
+                k_basis, dtype=cho[0].dtype)), cho[1]), v)
+            return jnp.where(cho_ok, c, jnp.zeros_like(c))
+
         # Galerkin init-projection of the warm start.
-        c0 = cho_solve(cho, Q.T @ r0)
-        x0 = x0 + Q @ c0
-        r0 = r0 - AQ @ c0
+        c0 = csolve(mm(Q.T, r0))
+        x0 = x0 + mm(Q, c0)
+        r0 = r0 - mm(AQ, c0)
         if t0 is not None:
             # lin_pred shift of the projected start: X(s (Q c0)).
             t0 = jnp.asarray(t0)
-            t0 = t0 + (TQ @ c0).astype(t0.dtype)
+            t0 = t0 + mm(TQ, c0.astype(TQ.dtype)).astype(t0.dtype)
 
         def deflate(v):
             """A-conjugate-project v against the recycled subspace."""
-            return v - Q @ cho_solve(cho, AQ.T @ v)
+            return v - mm(Q, csolve(mm(AQ.T, v)))
 
         B0 = Q.T  # slots not overwritten keep the recycled directions
 
@@ -307,6 +340,32 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
     if return_lin_pred:
         return coef, yhat, info
     return coef, info
+
+
+def _mgs_polish(Q):
+    """One modified-Gram-Schmidt pass over Q's columns at HIGHEST
+    precision. The TPU's QR factors with default (bf16-chained) MXU
+    precision, leaving ||Q'Q - I|| ~ 1e-3; a single MGS sweep restores
+    ~f32 orthonormality ("twice is enough": the input is already
+    orthonormal to 1e-3, so one reorthogonalization reaches roundoff).
+    Zero columns (possible for a rank-deficient recycled basis after
+    projection) are left as-is rather than divided by ~0."""
+    hiQ = lax.Precision.HIGHEST
+    k = Q.shape[1]
+
+    def body(j, Q):
+        q = Q[:, j]
+        # Subtract projections onto the already-polished columns 0..j-1
+        # (mask: MGS at static k via a full dot + triangular mask).
+        coeffs = jnp.matmul(Q.T, q, precision=hiQ)
+        mask = (jnp.arange(k) < j).astype(coeffs.dtype)
+        q = q - jnp.matmul(Q, coeffs * mask, precision=hiQ)
+        nrm = jnp.sqrt(jnp.vdot(q, q).real)
+        safe = nrm > jnp.finfo(Q.dtype).tiny ** 0.5
+        q = jnp.where(safe, q / jnp.where(safe, nrm, 1.0), q)
+        return Q.at[:, j].set(q)
+
+    return lax.fori_loop(0, k, body, Q)
 
 
 def _basis_update(B, r, rs_new, n_iter, k_basis):

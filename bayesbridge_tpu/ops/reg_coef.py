@@ -25,7 +25,8 @@ from .summarizer import (
 def sample_gaussian_posterior(
         key, design, y_gauss, obs_prec, gscale, lscale,
         prior_sd_for_unshrunk, slab_size, summ_state, method,
-        cg_maxiter=500, cg_precond_by='diag', cg_recycled_basis=None):
+        cg_maxiter=500, cg_precond_by='diag', cg_recycled_basis=None,
+        cg_atol_multiplier=1.0):
     """One draw of coef | obs_prec, gscale, lscale for linear/logit
     (reg_coef_sampler.py:60-103). Pure: returns (coef, summ_state, info).
 
@@ -35,6 +36,10 @@ def sample_gaussian_posterior(
     CG solve deflates against it and info['cg_basis'] carries the
     updated basis; elsewhere it passes through unchanged so the Gibbs
     carry stays type-stable.
+
+    `cg_atol_multiplier`: scales the reference's stopping rule
+    atol = 1e-5 * sqrt(n_pred) (reg_coef_sampler.py:95-96); 1.0
+    reproduces it exactly.
     """
     n_unshrunk = len(prior_sd_for_unshrunk)
     dtype = y_gauss.dtype
@@ -122,7 +127,7 @@ def sample_gaussian_posterior(
             key, design, obs_prec, prior_prec_sqrt, v,
             coef_cg_init=coef_init, precond_scale=precond_scale,
             maxiter=cg_maxiter,
-            atol=1e-5 * np.sqrt(design.shape[1]),
+            atol=cg_atol_multiplier * 1e-5 * np.sqrt(design.shape[1]),
             perturbation=pert + prior_prec_sqrt * eps_prior,
             warm_tdot=warm_tdot, lin_pred0=lin_pred0,
             return_lin_pred=want_lin_pred,

@@ -55,6 +55,8 @@ class GibbsStepConfig:
                                          'diag')
         self.cg_recycled_basis = int(
             getattr(options, 'cg_recycled_basis', 0) or 0)
+        self.cg_atol_multiplier = float(
+            getattr(options, 'cg_atol_multiplier', 1.0) or 1.0)
         self.n_unshrunk = n_unshrunk
         self.prior_sd_for_unshrunk = np.asarray(prior_sd_for_unshrunk,
                                                 dtype=np.float64)
@@ -221,6 +223,7 @@ def update_regress_coef(cfg, model, key, carry):
             carry['summ'], cfg.coef_sampler_type,
             cg_precond_by=cfg.cg_preconditioner,
             cg_recycled_basis=carry.get('cg_basis'),
+            cg_atol_multiplier=cfg.cg_atol_multiplier,
         )
         carry = {**carry, 'summ': summ}
         if 'cg_basis' in info:

@@ -243,7 +243,7 @@ def _commit_model_to_device(model):
 _MODELS = {}
 
 
-def _build_model_cached(X, outcome, dtype, cache_key):
+def _build_model_cached(X, outcome, dtype, cache_key, backend=None):
     """RegressionModel whose (expensive) sparse-design construction is
     cached as raw arrays: the CSR -> CSC conversion, exactness scans and
     block densification cost ~10 min at the flagship size, while the
@@ -282,7 +282,8 @@ def _build_model_cached(X, outcome, dtype, cache_key):
     # save costs more than it buys; the jitted chain transfers them to
     # the device at first execution either way).
     with jax.default_device(jax.devices('cpu')[0]):
-        model = RegressionModel(outcome, X, family='logit', dtype=dtype)
+        model = RegressionModel(outcome, X, family='logit', dtype=dtype,
+                                backend=backend)
     design = model.design
     if isinstance(design, SparseDesignMatrix):
         try:

@@ -101,6 +101,29 @@ def test_deflated_gibbs_saves_cg_iterations():
     assert iters_defl.sum() <= iters_plain.sum()
 
 
+def test_cg_atol_multiplier_validation_and_roundtrip():
+    with pytest.raises(ValueError):
+        SamplerOptions('cg', cg_atol_multiplier=0.0)
+    assert SamplerOptions(
+        'cg', cg_atol_multiplier=30.0).get_info()[
+            'cg_atol_multiplier'] == 30.0
+
+
+@pytest.mark.slow
+def test_cg_atol_multiplier_controls_iteration_budget():
+    """A looser tolerance must run (valid chain, finite logp) with
+    fewer CG iterations than the reference rule."""
+    bridge = _make_bridge(seed=9)
+    _, i_ref = _run(bridge, SamplerOptions('cg'), n_iter=6, seed=2)
+    s_loose, i_loose = _run(
+        bridge, SamplerOptions('cg', cg_atol_multiplier=100.0),
+        n_iter=6, seed=2)
+    assert np.all(np.isfinite(s_loose['logp']))
+    it_ref = np.asarray(i_ref['_reg_coef_sampling_info']['n_cg_iter'])
+    it_loose = np.asarray(i_loose['_reg_coef_sampling_info']['n_cg_iter'])
+    assert it_loose.sum() < it_ref.sum()
+
+
 def test_deflation_option_validation_and_roundtrip():
     """SamplerOptions validates k and round-trips it through get_info
     (the resume path rebuilds options from that dict, so a dropped key
