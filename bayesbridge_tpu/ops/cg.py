@@ -21,8 +21,6 @@ and surfaced as `n_cg_iter` (gibbs_util.py:147-149).
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.scipy.linalg import cho_factor, cho_solve
-
 
 def choose_preconditioner(prior_prec_sqrt, n_unshrunk, coef_scaled_sd,
                           target_sd_scale=2.0):
@@ -167,13 +165,22 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
 
     use_basis = recycled_basis is not None
     if use_basis:
-        # All deflation algebra runs at HIGHEST matmul precision: the
-        # default TPU precision chains MXU partials through bf16, which
-        # breaks the REQUIRED consistency G == Q'(AQ) between the
-        # Galerkin system and the projector (observed on-chip: bf16
-        # cross-terms drive cho_factor(G) to NaN and the chain
-        # poisons). These are (p, k) dots with k ~ 8 — free next to
-        # the design pass.
+        # TPU-first formulation: NO QR, NO Cholesky. The Galerkin
+        # system G = W'AW is solved by a thresholded eigendecomposition
+        # of the tiny (k, k) matrix instead — an oblique projector
+        # P v = v - W (G^+)(AW)'v is exactly idempotent for ANY
+        # full-or-deficient-rank W as long as G and AW come from the
+        # SAME W with consistent arithmetic, so orthonormalizing the
+        # basis buys nothing but an extra (slow-to-compile, bf16-
+        # precision) custom call in the hot scan. Rank deficiency, the
+        # all-zero first-draw basis, and collapsed residual directions
+        # all land in eigenvalues below the threshold, whose projection
+        # coefficients are simply zero: deflation degrades toward plain
+        # PCG, never corrupts it. All deflation dots run at HIGHEST
+        # precision — the default TPU precision chains MXU partials
+        # through bf16, which broke the G == W'(AW) consistency
+        # on-chip (observed: cho_factor(G) went NaN and poisoned the
+        # chain; that Cholesky formulation is retired).
         hiQ = lax.Precision.HIGHEST
 
         def mm(a, b):
@@ -184,15 +191,14 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
         if bo_ctx is not None:
             Wb = jnp.take(Wb, perm, axis=1)
         # Rows live in coef space (s_prev * r_prev); this draw's
-        # x-space direction for coef w is w / s_new.
+        # x-space direction for coef w is w / s_new. Normalize rows so
+        # G's eigenvalue threshold is scale-free; zero or non-finite
+        # rows (empty buffer slots, a poisoned carry) deactivate to 0.
         Wb = Wb / precond_scale[None, :].astype(r0.dtype)
-        Q, _ = jnp.linalg.qr(Wb.T)  # (p, k) orthonormal columns
-        # The TPU QR factors at default (bf16-chained) precision, so
-        # Q'Q - I lands around 1e-3; one modified-Gram-Schmidt polish
-        # at HIGHEST precision restores ~f32 orthonormality, which the
-        # Galerkin projection needs to actually remove the recycled
-        # directions from the residual.
-        Q = _mgs_polish(Q)
+        rnorm = jnp.sqrt(jnp.sum(Wb * Wb, axis=1, keepdims=True))
+        row_ok = jnp.isfinite(rnorm) & (rnorm > jnp.finfo(Wb.dtype).tiny)
+        W = jnp.where(row_ok, Wb / jnp.where(row_ok, rnorm, 1.0), 0.0)
+        Q = W.T  # (p, k) basis columns — NOT orthonormalized
 
         if bo_ctx is not None:
             def matmat_t(V):
@@ -210,43 +216,51 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
 
         # Upkeep: ONE multi-RHS dot+Tdot pair for all k columns.
         AQ, TQ = matmat_t(Q)
-        # G is SPD without regularization: QR returns orthonormal Q
-        # even for a rank-deficient input, and A is SPD. A ridge here
-        # is NOT harmless — it leaves a permanent W-component in the
-        # residual that the deflated iteration can never remove, so
-        # the solve stalls above atol and destabilizes at maxiter
-        # (measured: f64 dev case diverged to 1e152 with a 1e-6 ridge).
-        # Symmetrize: G's off-diagonal rounding asymmetry feeds
-        # cho_factor's triangular reads directly.
+        # A ridge would NOT be a safe alternative to the eigenvalue
+        # threshold: it leaves a permanent W-component in the residual
+        # that the deflated iteration can never remove, so the solve
+        # stalls above atol and destabilizes at maxiter (measured: f64
+        # dev case diverged to 1e152 with a 1e-6 ridge). The threshold
+        # instead EXCLUDES near-null directions from the projector.
         G = mm(Q.T, AQ)
         G = 0.5 * (G + G.T)
-        cho = cho_factor(G)
-        # Safety valve: if the factorization degenerates (a collapsed
-        # basis, an extreme operator), every projection coefficient is
-        # zeroed — the solve falls back to PLAIN preconditioned CG for
-        # this draw instead of poisoning the chain with NaN. The basis
-        # buffer still refills from this draw's residuals.
-        cho_ok = jnp.all(jnp.isfinite(cho[0]))
+        G = jnp.where(jnp.isfinite(G), G, 0.0)
+        evals, evecs = jnp.linalg.eigh(G)
+        lam_max = jnp.maximum(evals[-1], 0.0)
+        # Normalized rows + HIGHEST-precision dots leave G accurate to
+        # ~1e-6 relative; 64 eps ~ 7.6e-6 (f32) cuts safely above that
+        # noise floor while keeping genuinely independent directions.
+        lam_min = 64.0 * jnp.finfo(G.dtype).eps * lam_max
+        inv_evals = jnp.where(evals > lam_min, 1.0 /
+                              jnp.where(evals > lam_min, evals, 1.0), 0.0)
 
         def csolve(v):
-            c = cho_solve((jnp.where(cho_ok, cho[0], jnp.eye(
-                k_basis, dtype=cho[0].dtype)), cho[1]), v)
-            return jnp.where(cho_ok, c, jnp.zeros_like(c))
+            return mm(evecs, inv_evals * mm(evecs.T, v))
 
-        # Galerkin init-projection of the warm start.
+        # Galerkin init-projection of the warm start, applied only if
+        # every update is finite (x0, r0 and the lin_pred shift must
+        # move together or CG solves a different system than x0
+        # claims). A non-finite upkeep product (operator overflow)
+        # falls back to plain PCG for this draw.
         c0 = csolve(mm(Q.T, r0))
-        x0 = x0 + mm(Q, c0)
-        r0 = r0 - mm(AQ, c0)
+        upd_x = mm(Q, c0)
+        upd_r = mm(AQ, c0)
+        upd_t = None if t0 is None else mm(TQ, c0.astype(TQ.dtype))
+        defl_ok = jnp.isfinite(upd_x).all() & jnp.isfinite(upd_r).all()
+        if upd_t is not None:
+            defl_ok = defl_ok & jnp.isfinite(upd_t).all()
+        x0 = jnp.where(defl_ok, x0 + upd_x, x0)
+        r0 = jnp.where(defl_ok, r0 - upd_r, r0)
         if t0 is not None:
-            # lin_pred shift of the projected start: X(s (Q c0)).
             t0 = jnp.asarray(t0)
-            t0 = t0 + mm(TQ, c0.astype(TQ.dtype)).astype(t0.dtype)
+            t0 = jnp.where(defl_ok, t0 + upd_t.astype(t0.dtype), t0)
 
         def deflate(v):
             """A-conjugate-project v against the recycled subspace."""
-            return v - mm(Q, csolve(mm(AQ.T, v)))
+            d = v - mm(Q, csolve(mm(AQ.T, v)))
+            return jnp.where(defl_ok, d, v)
 
-        B0 = Q.T  # slots not overwritten keep the recycled directions
+        B0 = W  # slots not overwritten keep the recycled directions
 
     # Termination mirrors scipy.sparse.linalg.cg with tol = atol/||b||:
     # stop when ||r|| <= atol (cg_sampler.py:74-80). In float32 the
@@ -340,32 +354,6 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
     if return_lin_pred:
         return coef, yhat, info
     return coef, info
-
-
-def _mgs_polish(Q):
-    """One modified-Gram-Schmidt pass over Q's columns at HIGHEST
-    precision. The TPU's QR factors with default (bf16-chained) MXU
-    precision, leaving ||Q'Q - I|| ~ 1e-3; a single MGS sweep restores
-    ~f32 orthonormality ("twice is enough": the input is already
-    orthonormal to 1e-3, so one reorthogonalization reaches roundoff).
-    Zero columns (possible for a rank-deficient recycled basis after
-    projection) are left as-is rather than divided by ~0."""
-    hiQ = lax.Precision.HIGHEST
-    k = Q.shape[1]
-
-    def body(j, Q):
-        q = Q[:, j]
-        # Subtract projections onto the already-polished columns 0..j-1
-        # (mask: MGS at static k via a full dot + triangular mask).
-        coeffs = jnp.matmul(Q.T, q, precision=hiQ)
-        mask = (jnp.arange(k) < j).astype(coeffs.dtype)
-        q = q - jnp.matmul(Q, coeffs * mask, precision=hiQ)
-        nrm = jnp.sqrt(jnp.vdot(q, q).real)
-        safe = nrm > jnp.finfo(Q.dtype).tiny ** 0.5
-        q = jnp.where(safe, q / jnp.where(safe, nrm, 1.0), q)
-        return Q.at[:, j].set(q)
-
-    return lax.fori_loop(0, k, body, Q)
 
 
 def _basis_update(B, r, rs_new, n_iter, k_basis):

@@ -73,10 +73,10 @@ def test_deflated_resume_matches_uninterrupted():
     deflated chain equals the uninterrupted one exactly (CPU float64).
     Before round 5 the basis was dropped by _extract_sampler_state and
     resume restarted deflation from the zero basis."""
-    bridge = _make_bridge(seed=3)
+    bridge = _make_bridge(seed=3, n=60, p=24)
     options = SamplerOptions('cg', cg_recycled_basis=4)
-    s_full, _ = _run(bridge, options, n_iter=10)
-    s_restart, _ = _run(bridge, options, n_iter=10, restart_in_middle=True)
+    s_full, _ = _run(bridge, options, n_iter=8)
+    s_restart, _ = _run(bridge, options, n_iter=8, restart_in_middle=True)
     np.testing.assert_allclose(s_restart['coef'], s_full['coef'],
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(s_restart['logp'], s_full['logp'],
