@@ -78,19 +78,22 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
 
     `recycled_basis` ((k, p), original coef space): a deflation basis
     recycled from the PREVIOUS draw's Krylov residuals. The solve maps
-    it into this draw's preconditioned space, orthonormalizes (QR),
-    Galerkin-projects the initial guess (x0 += Q (Q'AQ)^-1 Q'r0), and
-    A-conjugate-projects every search direction against it (deflated
-    PCG) — the Gibbs chain's conditional-precision operators change
-    slowly in their troublesome directions (the data geometry), so the
-    recycled subspace removes them from the Krylov iteration. Upkeep is
-    ONE multi-RHS dot+Tdot pair per draw (`design.quad_matmat*` — the k
-    columns ride a single stored-block HBM pass), so the net pass win
-    is (iters_saved - 1) pairs; measured at dev sizes the deflated
-    variant saves 2-3 iterations (baselines/dev_deflation.py,
-    BASELINE.md). The updated basis is returned as
-    info['recycled_basis'] (same shape/space). Requires a backend with
-    `has_quad_matmat()` (dense, unsharded hybrid).
+    it into this draw's preconditioned space, row-normalizes, builds
+    the (k, k) Galerkin system G = W'AW, inverts it through a
+    thresholded eigendecomposition (rank-deficient, collapsed, and
+    all-zero bases degrade gracefully toward plain PCG — no QR, no
+    Cholesky, no NaN path), Galerkin-projects the initial guess
+    (x0 += W G^+ W'r0) and A-conjugate-projects every search direction
+    (deflated PCG) — the Gibbs chain's conditional-precision operators
+    change slowly in their troublesome directions (the data geometry),
+    so the recycled subspace removes them from the Krylov iteration.
+    Upkeep is ONE multi-RHS dot+Tdot pair per draw
+    (`design.quad_matmat*` — the k columns ride a single stored-block
+    HBM pass), so the net pass win is (iters_saved - 1) pairs;
+    measured at dev sizes the deflated variant saves 2-3 iterations
+    (baselines/dev_deflation.py, BASELINE.md). The updated basis is
+    returned as info['recycled_basis'] (same shape/space). Requires a
+    backend with `has_quad_matmat()` (dense, unsharded hybrid).
 
     Returns (coef, info), or (coef, lin_pred, info) when
     `return_lin_pred`; info = {'n_cg_iter', 'cg_converged'} as traced
