@@ -18,9 +18,24 @@ posterior-mean extrapolation. The iteration count is carried functionally
 and surfaced as `n_cg_iter` (gibbs_util.py:147-149).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Relative eigenvalue cutoff for the deflation projector's Galerkin
+# system (see `sample_gaussian_cg`): directions of G = W'AW with
+# eigenvalue below _DEFL_EIG_RTOL * lam_max are EXCLUDED from the
+# projector. Calibrated ON THE CHIP (baselines/dbg_deflation_nan.py,
+# 20k x 10k logit Gibbs, f32): 64*eps (7.6e-6) poisons the chain by
+# draw 20 and 3.4e-4 by draw 53 — a noise eigenvalue barely above the
+# cutoff turns into a ~1/lam amplification inside the projector and
+# blows up a search direction — while 1e-2 ran 100/100 draws clean
+# with the deflation benefit intact (early-draw CG iterations 17 -> 11
+# at that shape). Read once at import; overridable for sweeps.
+_DEFL_EIG_RTOL = float(os.environ.get('BB_DEFL_EIG_RTOL', '0') or 0) \
+    or 1e-2
 
 def choose_preconditioner(prior_prec_sqrt, n_unshrunk, coef_scaled_sd,
                           target_sd_scale=2.0):
@@ -230,10 +245,11 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
         G = jnp.where(jnp.isfinite(G), G, 0.0)
         evals, evecs = jnp.linalg.eigh(G)
         lam_max = jnp.maximum(evals[-1], 0.0)
-        # Normalized rows + HIGHEST-precision dots leave G accurate to
-        # ~1e-6 relative; 64 eps ~ 7.6e-6 (f32) cuts safely above that
-        # noise floor while keeping genuinely independent directions.
-        lam_min = 64.0 * jnp.finfo(G.dtype).eps * lam_max
+        # The cutoff must clear the noise floor of AQ itself (computed
+        # by the design's HIGH-precision multi-RHS kernel, not the
+        # HIGHEST-precision dots here) — see _DEFL_EIG_RTOL's on-chip
+        # calibration note.
+        lam_min = _DEFL_EIG_RTOL * lam_max
         inv_evals = jnp.where(evals > lam_min, 1.0 /
                               jnp.where(evals > lam_min, evals, 1.0), 0.0)
 
@@ -286,19 +302,31 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
                 x, r, p, rs, n_iter, yhat = state
             Ap, t_p = matvec_t(p)
             alpha = rs / jnp.vdot(p, Ap)
-            x = x + alpha * p
+            x_n = x + alpha * p
             # The forward intermediate follows the design's compute
             # dtype, which can be wider than the solve dtype (f32 chain
             # over an f64-stored design); keep the carry type-stable.
-            yhat = yhat + alpha * t_p.astype(yhat.dtype)
-            r = r - alpha * Ap
-            rs_new = jnp.vdot(r, r)
-            p = r + (rs_new / rs) * p
-            if use_basis:
-                p = deflate(p)
-                B = _basis_update(B, r, rs_new, n_iter, k_basis)
-                return x, r, p, rs_new, n_iter + 1, yhat, B
-            return x, r, p, rs_new, n_iter + 1, yhat
+            yhat_n = yhat + alpha * t_p.astype(yhat.dtype)
+            r_n = r - alpha * Ap
+            rs_new = jnp.vdot(r_n, r_n)
+            if not use_basis:
+                p = r_n + (rs_new / rs) * p
+                return x_n, r_n, p, rs_new, n_iter + 1, yhat_n
+            # Deflation breaks exact conjugacy (the projector is only
+            # as accurate as the f32 Galerkin algebra), so the
+            # guaranteed-descent property of plain CG no longer holds:
+            # a near-null projector direction can blow the iterate up.
+            # Guard every update — on a breakdown (non-SPD curvature or
+            # a non-finite residual) keep the LAST VALID iterate and
+            # exit via n_iter=maxiter, surfacing as cg_converged=False.
+            ok = (jnp.vdot(p, Ap) > 0) & jnp.isfinite(rs_new)
+            p_n = deflate(r_n + (rs_new / rs) * p)
+            B_n = _basis_update(B, r_n, rs_new, n_iter, k_basis)
+            return (jnp.where(ok, x_n, x), jnp.where(ok, r_n, r),
+                    jnp.where(ok, p_n, p), jnp.where(ok, rs_new, rs),
+                    jnp.where(ok, n_iter + 1,
+                              jnp.asarray(maxiter, n_iter.dtype)),
+                    jnp.where(ok, yhat_n, yhat), jnp.where(ok, B_n, B))
 
         # The loop computes in the residual's dtype (it follows the
         # preconditioner's, which can be wider than the solve inputs'
@@ -319,15 +347,21 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
                 x, r, p, rs, n_iter = state
             Ap = matvec(p)
             alpha = rs / jnp.vdot(p, Ap)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            rs_new = jnp.vdot(r, r)
-            p = r + (rs_new / rs) * p
-            if use_basis:
-                p = deflate(p)
-                B = _basis_update(B, r, rs_new, n_iter, k_basis)
-                return x, r, p, rs_new, n_iter + 1, B
-            return x, r, p, rs_new, n_iter + 1
+            x_n = x + alpha * p
+            r_n = r - alpha * Ap
+            rs_new = jnp.vdot(r_n, r_n)
+            if not use_basis:
+                p = r_n + (rs_new / rs) * p
+                return x_n, r_n, p, rs_new, n_iter + 1
+            # Breakdown guard — see the return_lin_pred body.
+            ok = (jnp.vdot(p, Ap) > 0) & jnp.isfinite(rs_new)
+            p_n = deflate(r_n + (rs_new / rs) * p)
+            B_n = _basis_update(B, r_n, rs_new, n_iter, k_basis)
+            return (jnp.where(ok, x_n, x), jnp.where(ok, r_n, r),
+                    jnp.where(ok, p_n, p), jnp.where(ok, rs_new, rs),
+                    jnp.where(ok, n_iter + 1,
+                              jnp.asarray(maxiter, n_iter.dtype)),
+                    jnp.where(ok, B_n, B))
 
         init = (x0, r0, p0, jnp.vdot(r0, r0), jnp.zeros((), jnp.int32))
         if use_basis:
@@ -339,10 +373,15 @@ def sample_gaussian_cg(key, design, obs_prec, prior_prec_sqrt, z,
 
     if use_basis:
         # Back to coef space (w = s * direction), original column order,
-        # carry dtype.
+        # carry dtype. A draw that hit the breakdown guard or ground to
+        # maxiter is evidence AGAINST the recycled subspace — reset the
+        # carry to zeros so the next draw self-heals as plain PCG
+        # instead of inheriting the directions that caused the stall.
         basis_new = B_out * precond_scale[None, :].astype(B_out.dtype)
         if bo_ctx is not None:
             basis_new = jnp.take(basis_new, unperm, axis=1)
+        basis_new = jnp.where(rs <= atol ** 2, basis_new,
+                              jnp.zeros_like(basis_new))
         basis_new = basis_new.astype(recycled_basis.dtype)
 
     coef = precond_scale * x
