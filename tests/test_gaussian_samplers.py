@@ -151,8 +151,9 @@ def test_cg_deflated_matches_dense_algebra():
     bases = {
         'zero': np.zeros((4, p1)),
         'random': rng.standard_normal((4, p1)),
-        # Degenerate: duplicated rows -> rank-deficient basis; the QR
-        # orthonormalization must keep the Galerkin system SPD.
+        # Degenerate: duplicated rows -> rank-deficient basis; the
+        # thresholded eigendecomposition of the Galerkin system must
+        # keep the projector well-defined.
         'rank_deficient': np.tile(rng.standard_normal((1, p1)), (4, 1)),
     }
     for name, basis in bases.items():
@@ -235,6 +236,61 @@ def test_cg_deflated_with_warm_fold():
     np.testing.assert_allclose(np.asarray(lin_pred),
                                np.asarray(design.dot(folded)),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_cg_deflated_pathological_bases_never_poison_the_draw():
+    """Guard-rail semantics (calibrated on-chip — see ops/cg.py): a
+    pathological recycled basis must DEGRADE the solve toward plain
+    PCG, never corrupt it. Non-finite rows deactivate; astronomically
+    scaled rows stay finite (row normalization); and the returned
+    carry basis is always finite."""
+    design, X, w, pps, z, Sigma = _setup(11, sparse=True)
+    key = jax.random.key(31)
+    p1 = X.shape[1]
+    precond_scale = jnp.asarray(1.0 / pps)
+    rng = np.random.default_rng(13)
+
+    plain, _ = sample_gaussian_cg(
+        key, design, jnp.asarray(w), jnp.asarray(pps), jnp.asarray(z),
+        coef_cg_init=jnp.zeros(p1), precond_scale=precond_scale,
+        maxiter=500, atol=1e-10)
+
+    nan_rows = rng.standard_normal((4, p1))
+    nan_rows[1] = np.nan
+    nan_rows[3, 0] = np.inf
+    bases = {
+        'nan_rows': nan_rows,
+        'huge': rng.standard_normal((4, p1)) * 1e30,
+        'tiny': rng.standard_normal((4, p1)) * 1e-30,
+    }
+    for name, basis in bases.items():
+        draw, info = sample_gaussian_cg(
+            key, design, jnp.asarray(w), jnp.asarray(pps),
+            jnp.asarray(z), coef_cg_init=jnp.zeros(p1),
+            precond_scale=precond_scale, maxiter=500, atol=1e-10,
+            recycled_basis=jnp.asarray(basis))
+        assert bool(info['cg_converged']), name
+        np.testing.assert_allclose(np.asarray(draw), np.asarray(plain),
+                                   rtol=1e-5, atol=1e-7, err_msg=name)
+        assert np.all(np.isfinite(np.asarray(info['recycled_basis']))), \
+            name
+
+
+def test_cg_deflated_unconverged_draw_resets_the_carried_basis():
+    """A deflated draw that grinds to maxiter is evidence against the
+    recycled subspace: the returned carry must be all-zero so the next
+    draw self-heals as plain PCG (ops/cg.py basis reset)."""
+    design, X, w, pps, z, Sigma = _setup(12, sparse=True)
+    p1 = X.shape[1]
+    rng = np.random.default_rng(14)
+    basis = jnp.asarray(rng.standard_normal((4, p1)))
+    _, info = sample_gaussian_cg(
+        jax.random.key(33), design, jnp.asarray(w), jnp.asarray(pps),
+        jnp.asarray(z), coef_cg_init=jnp.zeros(p1),
+        precond_scale=jnp.asarray(1.0 / pps),
+        maxiter=2, atol=1e-14, recycled_basis=basis)
+    assert not bool(info['cg_converged'])
+    assert np.all(np.asarray(info['recycled_basis']) == 0.0)
 
 
 def test_cg_iteration_count_benefits_from_preconditioning():
