@@ -5,13 +5,18 @@ baselines/r5_measure_artifact.jsonl the moment each leg lands (the
 axon tunnel's compile latency varies by an order of magnitude between
 sessions, so every partial result must survive a timeout):
 
-  1. reduced-scale deflation smoke (k=0 vs 8) — correctness gate
-  2. flagship deflation sweep  (cg_recycled_basis in BB_R5_KS)
-  3. flagship CG-tolerance sweep (cg_atol_multiplier in BB_R5_TOLS)
-  4. flagship hybrid-vs-bitpack A/B (BB_R5_BACKENDS)
+  1. reduced-scale smoke — correctness gate
+  2. flagship CG-tolerance sweep (cg_atol_multiplier in BB_R5_TOLS)
+  3. flagship hybrid-vs-bitpack A/B (BB_R5_BACKENDS)
+
+The deflation legs (smoke k=8 + flagship BB_R5_KS sweep) measured the
+recycled-basis deflated-PCG option and sealed its removal — flagship
+k=8 lost 31% throughput with zero CG iterations saved (artifact
+baselines/r5_measure_artifact.jsonl, BASELINE.md post-mortem) — so
+this program now sweeps only the surviving knobs.
 
 Usage: python -m baselines.r5_measure            # full program
-       BB_R5_LEGS=smoke,k python -m baselines.r5_measure
+       BB_R5_LEGS=smoke,tol python -m baselines.r5_measure
 """
 
 import json
@@ -38,8 +43,7 @@ def emit(rec):
         f.write(line + '\n')
 
 
-def run_one(model, n_iter, k_basis=0, atol_mult=1.0, bridge_exp=0.5,
-            seed=0):
+def run_one(model, n_iter, atol_mult=1.0, bridge_exp=0.5, seed=0):
     from bayesbridge_tpu import (
         BayesBridge, RegressionCoefPrior, SamplerOptions,
     )
@@ -51,8 +55,7 @@ def run_one(model, n_iter, k_basis=0, atol_mult=1.0, bridge_exp=0.5,
         bridge_exponent=bridge_exp, regularizing_slab_size=2.))
     init = {'coef': np.zeros(p1), 'global_scale': 0.1,
             'local_scale': np.ones(p1 - 1)}
-    options = SamplerOptions('cg', cg_recycled_basis=k_basis,
-                             cg_atol_multiplier=atol_mult)
+    options = SamplerOptions('cg', cg_atol_multiplier=atol_mult)
     t0 = time.time()
     _, warm = bridge.gibbs(
         n_iter, n_burnin=0, seed=seed, init=init, options=options,
@@ -65,7 +68,6 @@ def run_one(model, n_iter, k_basis=0, atol_mult=1.0, bridge_exp=0.5,
     n_cg = np.asarray(info['_reg_coef_sampling_info']['n_cg_iter'])
     ess = compute_effective_sample_size(samples['coef'][1:201])
     return {
-        'cg_recycled_basis': k_basis,
         'cg_atol_multiplier': atol_mult,
         'design_backend': model.design.backend,
         'iters_per_sec': round(n_iter / elapsed, 3),
@@ -92,9 +94,7 @@ def get_model(n_obs, n_pred, backend=None):
 
 
 def main():
-    legs = os.environ.get('BB_R5_LEGS', 'smoke,k,tol,ab').split(',')
-    ks = [int(s) for s in
-          os.environ.get('BB_R5_KS', '0,8,16').split(',')]
+    legs = os.environ.get('BB_R5_LEGS', 'smoke,tol,ab').split(',')
     tols = [float(s) for s in
             os.environ.get('BB_R5_TOLS', '10,3').split(',')]
     backends = os.environ.get('BB_R5_BACKENDS', 'bitpack').split(',')
@@ -102,18 +102,11 @@ def main():
 
     if 'smoke' in legs:
         model = get_model(20_000, 10_000)
-        for k in (0, 8):
-            res = run_one(model, 40, k_basis=k)
-            emit({'leg': 'smoke', 'shape': [20_000, 10_000], **res})
+        res = run_one(model, 40)
+        emit({'leg': 'smoke', 'shape': [20_000, 10_000], **res})
 
-    if {'k', 'tol', 'ab'} & set(legs):
+    if {'tol', 'ab'} & set(legs):
         flag = get_model(100_000, 50_000)
-
-    if 'k' in legs:
-        for k in ks:
-            res = run_one(flag, n_iter, k_basis=k)
-            emit({'leg': 'deflation_k', 'shape': [100_000, 50_000],
-                  **res})
 
     if 'tol' in legs:
         for m in tols:

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 from bench import build_data, _build_model_cached  # noqa: E402
 
 
-def run_one(model, atol_mult, n_iter, k_basis=0, bridge_exp=0.5):
+def run_one(model, atol_mult, n_iter, bridge_exp=0.5):
     from bayesbridge_tpu import (
         BayesBridge, RegressionCoefPrior, SamplerOptions,
     )
@@ -37,8 +37,7 @@ def run_one(model, atol_mult, n_iter, k_basis=0, bridge_exp=0.5):
         bridge_exponent=bridge_exp, regularizing_slab_size=2.))
     init = {'coef': np.zeros(n_pred_plus1), 'global_scale': 0.1,
             'local_scale': np.ones(n_pred_plus1 - 1)}
-    options = SamplerOptions('cg', cg_recycled_basis=k_basis,
-                             cg_atol_multiplier=atol_mult)
+    options = SamplerOptions('cg', cg_atol_multiplier=atol_mult)
     _, warm = bridge.gibbs(
         n_iter, n_burnin=0, seed=0, init=init, options=options,
         params_to_save=('coef', 'logp'))
@@ -50,7 +49,6 @@ def run_one(model, atol_mult, n_iter, k_basis=0, bridge_exp=0.5):
     ess = compute_effective_sample_size(samples['coef'][1:201])
     return {
         'cg_atol_multiplier': atol_mult,
-        'cg_recycled_basis': k_basis,
         'iters_per_sec': round(n_iter / elapsed, 3),
         'elapsed_s': round(elapsed, 2),
         'mean_cg_iter': round(float(n_cg.mean()), 2),
@@ -68,8 +66,6 @@ def main():
     n_iter = int(os.environ.get('BB_BENCH_ITER', 100))
     mults = [float(s) for s in
              os.environ.get('BB_SWEEP_TOL', '0.1,1,10,100').split(',')]
-    k_basis = int(os.environ.get('BB_SWEEP_BASIS', 0))
-
     X, outcome = build_data(n_obs, n_pred)
     dtype = np.float32 if jax.default_backend() != 'cpu' else None
     model = _build_model_cached(
@@ -79,7 +75,7 @@ def main():
                       'backend': jax.default_backend(),
                       'design_backend': model.design.backend}), flush=True)
     for m in mults:
-        print(json.dumps(run_one(model, m, n_iter, k_basis)), flush=True)
+        print(json.dumps(run_one(model, m, n_iter)), flush=True)
 
 
 if __name__ == '__main__':

@@ -527,7 +527,6 @@ class BayesBridge:
         key = (options.coef_sampler_type, options.gscale_update,
                options.curvature_est_stabilized,
                getattr(options, 'cg_preconditioner', 'diag'),
-               getattr(options, 'cg_recycled_basis', 0),
                getattr(options, 'cg_atol_multiplier', 1.0))
         if key not in self._cfg_cache:
             self._cfg_cache[key] = step_mod.GibbsStepConfig(
@@ -535,13 +534,7 @@ class BayesBridge:
                 self.prior_sd_for_unshrunk, self.dtype)
         return self._cfg_cache[key]
 
-    # The recycled CG deflation basis ('cg_basis') is part of the
-    # sampler state: dropping it across gibbs_resume would silently
-    # restart deflation from the zero basis and break exact resume
-    # (the basis steers the CG path, so the resumed draws would differ
-    # from an uninterrupted chain by up to the solver tolerance).
-    _SAMPLER_STATE_KEYS = ('hmc_adapter', 'stab_buffer', 'stab_n',
-                           'cg_basis')
+    _SAMPLER_STATE_KEYS = ('hmc_adapter', 'stab_buffer', 'stab_n')
 
     def _extract_sampler_state(self, carry):
         state = {'summ': carry['summ']}

@@ -86,23 +86,6 @@ class AbstractDesignMatrix(abc.ABC):
         backend has no dtype-split column layout to exploit."""
         return None
 
-    def has_quad_matmat(self):
-        """True when `quad_matmat` serves a multi-RHS operator
-        application as genuinely batched MXU dots — ONE stored-block
-        HBM pass regardless of the RHS count. The CG sampler's
-        recycled-basis upkeep (ops/cg.py) is profitable exactly then:
-        its k basis columns ride a single dot+Tdot pair instead of k
-        separate operator applications."""
-        return False
-
-    def quad_matmat(self, V, weight, return_t=False):
-        """X' (weight[:, None] * (X V)) for a (p, k) block of operands
-        — `quad_matvec` batched over columns. `return_t=True`
-        additionally returns the forward intermediate ``T = X V``
-        ((n, k), intercept and centering included). Only meaningful on
-        backends where `has_quad_matmat()` is True."""
-        raise NotImplementedError
-
     def fused_ne_mode(self, kind='quad'):
         """Interpret-flag for the fused one-sweep kernel serving the
         `kind` call site ('quad' | 'presolve' | 'link'), else None (the

@@ -131,26 +131,6 @@ class DenseDesignMatrix(AbstractDesignMatrix):
         self.Tdot_count += 1
         return out
 
-    def has_quad_matmat(self):
-        return True
-
-    def quad_matmat(self, V, weight, return_t=False):
-        """X' (weight[:, None] * (X V)) for a (p, k) operand block as
-        two multi-RHS MXU matmuls — one stored-matrix HBM pass per
-        direction regardless of k. Wide f32 dots request HIGH precision
-        (default TPU precision chains MXU partials through bf16; see
-        design/sparse._presolve_multirhs for the measured error)."""
-        hi = jax.lax.Precision.HIGH
-        V = jnp.asarray(V, self.X.dtype)
-        t = jnp.matmul(self.X, V, precision=hi)[:self._n_rows]
-        u = jnp.asarray(weight, self.X.dtype)[:, None] * t
-        pad = self.X.shape[0] - u.shape[0]
-        u_pad = u if pad == 0 else jnp.pad(u, ((0, pad), (0, 0)))
-        out = jnp.matmul(self.X.T, u_pad, precision=hi)
-        self.dot_count += 1
-        self.Tdot_count += 1
-        return (out, t) if return_t else out
-
     def fused_link_grad(self, v, a, b, mid):
         """GLM loglik + gradient in ONE sweep of the stored matrix
         (design/fusedne.py fused_link_matvec); None when ineligible."""

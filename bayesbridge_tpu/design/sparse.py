@@ -1229,78 +1229,6 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             if self.intercept_added else main
         return (out, t) if return_t else out
 
-    def has_quad_matmat(self):
-        return self.backend == 'hybrid' and not self._hybrid_sharded
-
-    def quad_matmat(self, V, weight, return_t=False):
-        """`quad_matvec` batched over a (p, k) operand block: gather
-        the columns into the dtype-split order once, run the
-        block-ordered multi-RHS form, scatter back once."""
-        perm, unperm, offset_bo = self._blockorder_perm()
-        res = self.quad_matmat_blockorder(
-            jnp.take(jnp.asarray(V, self.dtype), perm, axis=0),
-            weight, offset_bo, return_t)
-        if return_t:
-            out, t = res
-            return jnp.take(out, unperm, axis=0), t
-        return jnp.take(res, unperm, axis=0)
-
-    def quad_matmat_blockorder(self, V_bo, weight, offset_bo,
-                               return_t=False):
-        """`quad_matvec_blockorder` batched over a (p, k) block-ordered
-        operand: X' (weight[:, None] * (X V)) as ONE multi-RHS MXU
-        dot+Tdot pair per stored block — the design bytes are read
-        once per direction regardless of k. This is what makes the CG
-        sampler's recycled-basis upkeep (ops/cg.py) ~one pass-pair
-        instead of k operator applications. Wide (k > 1) f32 dots
-        request HIGH precision (default TPU precision chains MXU
-        partials through bf16 — see `_presolve_multirhs`)."""
-        hi = jax.lax.Precision.HIGH
-        dtype = self.dtype
-        n = self._shape_main[0]
-        pe_t = self.exact_cols.shape[0]
-        V_bo = jnp.asarray(V_bo, dtype)
-        weight = jnp.asarray(weight, dtype)
-        if self.intercept_added:
-            v0, V_main = V_bo[0], V_bo[1:]
-        else:
-            v0 = jnp.zeros((V_bo.shape[1],), dtype)
-            V_main = V_bo
-        Ve, Vf = V_main[:pe_t], V_main[pe_t:]
-        Xe = self._exact_block()
-
-        def pad2(U, m):
-            pad = m - U.shape[0]
-            return U if pad == 0 else jnp.pad(U, ((0, pad), (0, 0)))
-
-        t = jax.lax.dot_general(
-            Xe, pad2(Ve, Xe.shape[1]), (((1,), (0,)), ((), ())),
-            precision=hi, preferred_element_type=dtype)
-        if self.float_cols.size:
-            t = t + jnp.matmul(
-                self.X_float, pad2(Vf, self.X_float.shape[1]),
-                precision=hi)
-        t = t[:n] + (v0[None, :] - offset_bo @ V_main)
-        u = weight[:, None] * t
-        sum_u = jnp.sum(u, axis=0)
-        out_e = jax.lax.dot_general(
-            Xe, pad2(u, Xe.shape[0]), (((0,), (0,)), ((), ())),
-            precision=hi, preferred_element_type=dtype)[:pe_t]
-        if self.float_cols.size:
-            out_f = jax.lax.dot_general(
-                self.X_float, pad2(u, self.X_float.shape[0]),
-                (((0,), (0,)), ((), ())), precision=hi,
-                preferred_element_type=dtype)[:self.float_cols.shape[0]]
-            main = jnp.concatenate((out_e, out_f))
-        else:
-            main = out_e
-        main = main - offset_bo[:, None] * sum_u[None, :]
-        self.dot_count += 1
-        self.Tdot_count += 1
-        out = jnp.concatenate((sum_u[None, :], main)) \
-            if self.intercept_added else main
-        return (out, t) if return_t else out
-
     def fused_link_grad(self, v, a, b, mid):
         """GLM loglik + gradient in ONE sweep of the hybrid blocks:
         (loglik, Tdot(u)) with u the `mid` link score of t = X v (see

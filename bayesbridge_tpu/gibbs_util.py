@@ -19,7 +19,6 @@ class SamplerOptions:
                  global_scale_update='sample',
                  hmc_curvature_est_stabilized=False,
                  cg_preconditioner='diag',
-                 cg_recycled_basis=0,
                  cg_atol_multiplier=1.0):
         """
         Parameters
@@ -33,15 +32,6 @@ class SamplerOptions:
             cg_sampler.py:140-143) costs one weighted column-moment pass
             per draw but typically needs ~3x fewer CG iterations. Both
             target the identical distribution.
-        cg_recycled_basis : int
-            k > 0 deflates each CG solve against a k-column basis
-            recycled from the previous draw's Krylov residuals
-            (ops/cg.py): upkeep is one batched multi-RHS design
-            pass-pair per draw, saving ~2-3 CG iterations where the
-            basis tracks the operator's slow directions
-            (baselines/dev_deflation.py). Applied only on backends with
-            a batched multi-RHS operator (dense, unsharded hybrid);
-            ignored elsewhere. 0 (default) = plain PCG.
         cg_atol_multiplier : float
             Scales the CG stopping tolerance relative to the
             reference's rule atol = 1e-5 * sqrt(n_pred)
@@ -56,9 +46,6 @@ class SamplerOptions:
             raise ValueError("Unsupported regression coefficient sampler.")
         if cg_preconditioner not in ('diag', 'prior'):
             raise ValueError("Unsupported CG preconditioner.")
-        cg_recycled_basis = int(cg_recycled_basis)
-        if cg_recycled_basis < 0:
-            raise ValueError("cg_recycled_basis must be >= 0.")
         cg_atol_multiplier = float(cg_atol_multiplier)
         if not cg_atol_multiplier > 0:
             raise ValueError("cg_atol_multiplier must be > 0.")
@@ -66,7 +53,6 @@ class SamplerOptions:
         self.gscale_update = global_scale_update
         self.curvature_est_stabilized = hmc_curvature_est_stabilized
         self.cg_preconditioner = cg_preconditioner
-        self.cg_recycled_basis = cg_recycled_basis
         self.cg_atol_multiplier = cg_atol_multiplier
 
     def get_info(self):
@@ -75,7 +61,6 @@ class SamplerOptions:
             'global_scale_update': self.gscale_update,
             'hmc_curvature_est_stabilized': self.curvature_est_stabilized,
             'cg_preconditioner': self.cg_preconditioner,
-            'cg_recycled_basis': self.cg_recycled_basis,
             'cg_atol_multiplier': self.cg_atol_multiplier,
         }
 

@@ -25,17 +25,9 @@ from .summarizer import (
 def sample_gaussian_posterior(
         key, design, y_gauss, obs_prec, gscale, lscale,
         prior_sd_for_unshrunk, slab_size, summ_state, method,
-        cg_maxiter=500, cg_precond_by='diag', cg_recycled_basis=None,
-        cg_atol_multiplier=1.0):
+        cg_maxiter=500, cg_precond_by='diag', cg_atol_multiplier=1.0):
     """One draw of coef | obs_prec, gscale, lscale for linear/logit
     (reg_coef_sampler.py:60-103). Pure: returns (coef, summ_state, info).
-
-    `cg_recycled_basis` ((k, p), coef space): deflation basis recycled
-    from the previous draw's Krylov residuals (ops/cg.py). On backends
-    with a batched multi-RHS operator (`design.has_quad_matmat()`) the
-    CG solve deflates against it and info['cg_basis'] carries the
-    updated basis; elsewhere it passes through unchanged so the Gibbs
-    carry stays type-stable.
 
     `cg_atol_multiplier`: scales the reference's stopping rule
     atol = 1e-5 * sqrt(n_pred) (reg_coef_sampler.py:95-96); 1.0
@@ -121,8 +113,6 @@ def sample_gaussian_posterior(
                 coef_sd = estimate_coef_precond_scale_sd(summ_state)
                 precond_scale = choose_preconditioner(
                     prior_prec_sqrt, n_unshrunk, coef_sd)
-        basis = cg_recycled_basis
-        basis_supported = basis is not None and design.has_quad_matmat()
         res = sample_gaussian_cg(
             key, design, obs_prec, prior_prec_sqrt, v,
             coef_cg_init=coef_init, precond_scale=precond_scale,
@@ -131,16 +121,12 @@ def sample_gaussian_posterior(
             perturbation=pert + prior_prec_sqrt * eps_prior,
             warm_tdot=warm_tdot, lin_pred0=lin_pred0,
             return_lin_pred=want_lin_pred,
-            recycled_basis=basis if basis_supported else None,
         )
         if want_lin_pred:
             coef, lin_pred, info = res
             info = {**info, 'lin_pred': lin_pred}
         else:
             coef, info = res
-        if basis is not None:
-            info = {**info,
-                    'cg_basis': info.pop('recycled_basis', basis)}
         coef = coef.astype(dtype)  # design dtype -> chain dtype
         summ_state = summarizer_update(
             summ_state, coef, gscale, lscale, n_unshrunk, slab_size)

@@ -53,8 +53,6 @@ class GibbsStepConfig:
         self.curvature_est_stabilized = options.curvature_est_stabilized
         self.cg_preconditioner = getattr(options, 'cg_preconditioner',
                                          'diag')
-        self.cg_recycled_basis = int(
-            getattr(options, 'cg_recycled_basis', 0) or 0)
         self.cg_atol_multiplier = float(
             getattr(options, 'cg_atol_multiplier', 1.0) or 1.0)
         self.n_unshrunk = n_unshrunk
@@ -222,12 +220,9 @@ def update_regress_coef(cfg, model, key, carry):
             cfg.prior_sd_for_unshrunk.astype(cfg.dtype), cfg.slab_size,
             carry['summ'], cfg.coef_sampler_type,
             cg_precond_by=cfg.cg_preconditioner,
-            cg_recycled_basis=carry.get('cg_basis'),
             cg_atol_multiplier=cfg.cg_atol_multiplier,
         )
         carry = {**carry, 'summ': summ}
-        if 'cg_basis' in info:
-            carry['cg_basis'] = info.pop('cg_basis')
         return coef, carry, info
 
     if cfg.coef_sampler_type in ('hmc', 'nuts'):
@@ -316,12 +311,6 @@ def init_carry(cfg, key, coef, obs_prec, gscale, lscale, summ=None):
         carry.update(hmc_update.init_hmc_carry(cfg))
     if cfg.coef_sampler_type == 'cg':
         carry['n_cg_unconverged'] = jnp.zeros((), jnp.int32)
-        if cfg.cg_recycled_basis > 0:
-            # Deflation basis recycled across draws (ops/cg.py); zeros
-            # make the first draw's projection a benign coordinate-
-            # subspace Galerkin step (QR of 0 yields identity columns).
-            carry['cg_basis'] = jnp.zeros(
-                (cfg.cg_recycled_basis, cfg.n_pred), dtype)
     return carry
 
 

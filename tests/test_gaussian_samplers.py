@@ -129,170 +129,6 @@ def test_cg_warm_fold_and_lin_pred_match_plain_solve():
                                rtol=1e-6, atol=1e-9)
 
 
-def test_cg_deflated_matches_dense_algebra():
-    """Deflation must not change WHAT is solved: with any recycled
-    basis — zero (the first-draw case), random, or the previous solve's
-    residuals — the deflated draw converges to the same
-    N(Sigma z, Sigma) realization as dense algebra, the accumulated
-    linear predictor equals X @ draw, and the returned basis is
-    type/shape-stable for the scan carry."""
-    design, X, w, pps, z, Sigma = _setup(3, sparse=True)
-    key = jax.random.key(19)
-    p1 = X.shape[1]
-    precond_scale = jnp.asarray(1.0 / pps)
-
-    k1, k2 = jax.random.split(key)
-    eps_obs = np.asarray(jax.random.normal(k1, (X.shape[0],), jnp.float64))
-    eps_prior = np.asarray(jax.random.normal(k2, (p1,), jnp.float64))
-    b = z + X.T @ (np.sqrt(w) * eps_obs) + pps * eps_prior
-    expected = Sigma @ b
-
-    rng = np.random.default_rng(6)
-    bases = {
-        'zero': np.zeros((4, p1)),
-        'random': rng.standard_normal((4, p1)),
-        # Degenerate: duplicated rows -> rank-deficient basis; the
-        # thresholded eigendecomposition of the Galerkin system must
-        # keep the projector well-defined.
-        'rank_deficient': np.tile(rng.standard_normal((1, p1)), (4, 1)),
-    }
-    for name, basis in bases.items():
-        draw, lin_pred, info = sample_gaussian_cg(
-            key, design, jnp.asarray(w), jnp.asarray(pps), jnp.asarray(z),
-            coef_cg_init=jnp.zeros(p1), precond_scale=precond_scale,
-            maxiter=500, atol=1e-10, return_lin_pred=True,
-            recycled_basis=jnp.asarray(basis))
-        assert bool(info['cg_converged']), name
-        np.testing.assert_allclose(np.asarray(draw), expected,
-                                   rtol=1e-6, atol=1e-8, err_msg=name)
-        np.testing.assert_allclose(np.asarray(lin_pred),
-                                   np.asarray(design.dot(draw)),
-                                   rtol=1e-6, atol=1e-8, err_msg=name)
-        basis_new = info['recycled_basis']
-        assert basis_new.shape == basis.shape, name
-        assert basis_new.dtype == jnp.asarray(basis).dtype, name
-        assert np.all(np.isfinite(np.asarray(basis_new))), name
-
-
-def test_cg_deflated_recycled_basis_saves_iterations():
-    """Recycling the previous solve's residual basis against the SAME
-    operator must remove those Krylov directions: the second solve takes
-    fewer iterations than an undeflated one, and still matches it."""
-    design, X, w, pps, z, Sigma = _setup(5, sparse=True)
-    p1 = X.shape[1]
-    precond_scale = jnp.asarray(1.0 / pps)
-    key1, key2 = jax.random.split(jax.random.key(23))
-
-    _, info1 = sample_gaussian_cg(
-        key1, design, jnp.asarray(w), jnp.asarray(pps), jnp.asarray(z),
-        coef_cg_init=jnp.zeros(p1), precond_scale=precond_scale,
-        maxiter=500, atol=1e-8,
-        recycled_basis=jnp.zeros((6, p1)))
-    basis = info1['recycled_basis']
-
-    plain, info_plain = sample_gaussian_cg(
-        key2, design, jnp.asarray(w), jnp.asarray(pps), jnp.asarray(z),
-        coef_cg_init=jnp.zeros(p1), precond_scale=precond_scale,
-        maxiter=500, atol=1e-8)
-    deflated, info_defl = sample_gaussian_cg(
-        key2, design, jnp.asarray(w), jnp.asarray(pps), jnp.asarray(z),
-        coef_cg_init=jnp.zeros(p1), precond_scale=precond_scale,
-        maxiter=500, atol=1e-8, recycled_basis=basis)
-    assert bool(info_defl['cg_converged'])
-    assert int(info_defl['n_cg_iter']) < int(info_plain['n_cg_iter'])
-    np.testing.assert_allclose(np.asarray(deflated), np.asarray(plain),
-                               rtol=1e-5, atol=1e-7)
-
-
-def test_cg_deflated_with_warm_fold():
-    """Deflation composed with the warm-start fold (`warm_tdot` riding
-    the pre-solve multi-RHS dot) — the production hot-path combination —
-    must agree with the plain solve and keep lin_pred exact."""
-    design, X, w, pps, z, Sigma = _setup(6, sparse=True)
-    key = jax.random.key(29)
-    p1 = X.shape[1]
-    rng = np.random.default_rng(8)
-    coef_init = jnp.asarray(rng.standard_normal(p1) * .1)
-    precond_scale = jnp.asarray(1.0 / pps)
-    basis = jnp.asarray(rng.standard_normal((4, p1)))
-
-    plain, _ = sample_gaussian_cg(
-        key, design, jnp.asarray(w), jnp.asarray(pps), jnp.asarray(z),
-        coef_cg_init=coef_init, precond_scale=precond_scale,
-        maxiter=500, atol=1e-10)
-
-    lin0 = design.dot(coef_init)
-    *_, warm_tdot = design.presolve_reductions(
-        jnp.asarray(w), jnp.asarray(w), jnp.asarray(w),
-        jnp.asarray(w) * lin0)
-    folded, lin_pred, info = sample_gaussian_cg(
-        key, design, jnp.asarray(w), jnp.asarray(pps), jnp.asarray(z),
-        coef_cg_init=coef_init, precond_scale=precond_scale,
-        maxiter=500, atol=1e-10, warm_tdot=warm_tdot, lin_pred0=lin0,
-        return_lin_pred=True, recycled_basis=basis)
-    assert bool(info['cg_converged'])
-    np.testing.assert_allclose(np.asarray(folded), np.asarray(plain),
-                               rtol=1e-6, atol=1e-8)
-    np.testing.assert_allclose(np.asarray(lin_pred),
-                               np.asarray(design.dot(folded)),
-                               rtol=1e-6, atol=1e-8)
-
-
-def test_cg_deflated_pathological_bases_never_poison_the_draw():
-    """Guard-rail semantics (calibrated on-chip — see ops/cg.py): a
-    pathological recycled basis must DEGRADE the solve toward plain
-    PCG, never corrupt it. Non-finite rows deactivate; astronomically
-    scaled rows stay finite (row normalization); and the returned
-    carry basis is always finite."""
-    design, X, w, pps, z, Sigma = _setup(11, sparse=True)
-    key = jax.random.key(31)
-    p1 = X.shape[1]
-    precond_scale = jnp.asarray(1.0 / pps)
-    rng = np.random.default_rng(13)
-
-    plain, _ = sample_gaussian_cg(
-        key, design, jnp.asarray(w), jnp.asarray(pps), jnp.asarray(z),
-        coef_cg_init=jnp.zeros(p1), precond_scale=precond_scale,
-        maxiter=500, atol=1e-10)
-
-    nan_rows = rng.standard_normal((4, p1))
-    nan_rows[1] = np.nan
-    nan_rows[3, 0] = np.inf
-    bases = {
-        'nan_rows': nan_rows,
-        'huge': rng.standard_normal((4, p1)) * 1e30,
-        'tiny': rng.standard_normal((4, p1)) * 1e-30,
-    }
-    for name, basis in bases.items():
-        draw, info = sample_gaussian_cg(
-            key, design, jnp.asarray(w), jnp.asarray(pps),
-            jnp.asarray(z), coef_cg_init=jnp.zeros(p1),
-            precond_scale=precond_scale, maxiter=500, atol=1e-10,
-            recycled_basis=jnp.asarray(basis))
-        assert bool(info['cg_converged']), name
-        np.testing.assert_allclose(np.asarray(draw), np.asarray(plain),
-                                   rtol=1e-5, atol=1e-7, err_msg=name)
-        assert np.all(np.isfinite(np.asarray(info['recycled_basis']))), \
-            name
-
-
-def test_cg_deflated_unconverged_draw_resets_the_carried_basis():
-    """A deflated draw that grinds to maxiter is evidence against the
-    recycled subspace: the returned carry must be all-zero so the next
-    draw self-heals as plain PCG (ops/cg.py basis reset)."""
-    design, X, w, pps, z, Sigma = _setup(12, sparse=True)
-    p1 = X.shape[1]
-    rng = np.random.default_rng(14)
-    basis = jnp.asarray(rng.standard_normal((4, p1)))
-    _, info = sample_gaussian_cg(
-        jax.random.key(33), design, jnp.asarray(w), jnp.asarray(pps),
-        jnp.asarray(z), coef_cg_init=jnp.zeros(p1),
-        precond_scale=jnp.asarray(1.0 / pps),
-        maxiter=2, atol=1e-14, recycled_basis=basis)
-    assert not bool(info['cg_converged'])
-    assert np.all(np.asarray(info['recycled_basis']) == 0.0)
-
-
 def test_cg_iteration_count_benefits_from_preconditioning():
     """The prior preconditioner should solve heavily shrunk systems in
     far fewer iterations than the unpreconditioned solver."""
