@@ -342,6 +342,14 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             # budget; dense-ish designs would drown in ELL spill.
             w_est, k_est = winell_mod.plan_windows(p, n, X.nnz)
             winell_ok = w_est * X.nnz <= 0.75 * k_est * max(1, n * p)
+            # Prefer-hybrid-within-budget is MEASURED, not assumed: at
+            # the flagship 100k x 50k (90% binary) the hybrid int8+f32
+            # blocks ran 6.071 iter/s vs bitpack's 5.711 (-6%) at half
+            # the stored bytes (6.5 vs 3.2 GB) — the MXU streams int8
+            # faster than the byte-LUT kernel expands bitmaps, so
+            # bitpack's 2x byte headroom is bought only when HBM
+            # residency actually demands it (BASELINE.md round-5 A/B,
+            # baselines/r5_measure_artifact.jsonl).
             if hybrid_bytes <= _HYBRID_MAX_BYTES:
                 backend = 'hybrid'
             elif (binary_frac >= _BITPACK_MIN_BINARY_FRAC
