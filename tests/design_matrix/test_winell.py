@@ -137,6 +137,9 @@ def test_auto_select_warns_on_f64_dtype_cliff(monkeypatch):
     assert design.backend in ('hybrid', 'ell')
 
 
+@pytest.mark.slow  # ~20 s full-chain integration; the winell kernel's
+# numerics (matvec/Tdot/quad equivalence, planning, spill) stay in the
+# fast lane via the other tests in this file.
 def test_winell_gibbs_chain_runs():
     """End-to-end CG Gibbs over a winell design (f32 chain inside the
     x64 test session, mirroring the bitpack e2e combination)."""

@@ -211,6 +211,8 @@ def test_multihost_entry_is_noop_single_process():
         assert mesh2.devices.shape == (len(jax.devices()) // 2, 2)
 
 
+@pytest.mark.slow  # ~23 s: full sharded chain; the 2-d mesh and
+# fused-under-shard_map variants stay in the fast lane.
 @pytest.mark.skipif(len(jax.devices()) < N_DEV,
                     reason="needs the 8-device CPU mesh")
 def test_sharded_full_chain_runs():

@@ -44,7 +44,9 @@ def polya_gamma_moments(b, z):
     # DR branch at extreme tilt; slow for the same straggler-tail
     # reason — (0.7, 8.0) keeps the DR branch in the fast lane.
     pytest.param(0.25, 40.0, marks=pytest.mark.slow),
-    (0.125, 2.0),   # very small exponent, DC branch
+    # 0.125 is the slowest DC case (~30 s on this host); (0.7, 1.0)
+    # keeps the DC branch in the fast lane.
+    pytest.param(0.125, 2.0, marks=pytest.mark.slow),
     (0.7, 1.0),     # DC branch
     (0.7, 8.0),     # DR branch
     (0.5, 3.9),     # near the crossover
@@ -106,7 +108,10 @@ def test_tilted_stable_heterogeneous_tilts():
     # work per draw on the CPU host; the moment check itself is the
     # same as the fast params.
     pytest.param(0.05, marks=pytest.mark.slow),
-    0.5, 1.0, 4.0, 12.0])
+    # z=0.5 is the next-slowest series case (~20 s); 1.0/4.0/12.0 keep
+    # the moment oracle in the fast lane.
+    pytest.param(0.5, marks=pytest.mark.slow),
+    1.0, 4.0, 12.0])
 def test_unit_polya_gamma_moments(z):
     n = 200_000
     draws = np.asarray(sample_unit_shape_polya_gamma(
