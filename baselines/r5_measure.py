@@ -28,8 +28,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-from bench import build_data, _build_model_cached, design_storage_bytes \
-    # noqa: E402
+from bench import (  # noqa: E402
+    build_data, _build_model_cached, design_storage_bytes, json_safe,
+)
 
 ART = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    'r5_measure_artifact.jsonl')
@@ -37,7 +38,7 @@ ART = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def emit(rec):
     rec = {'t': round(time.time(), 1), **rec}
-    line = json.dumps(rec)
+    line = json.dumps(json_safe(rec), allow_nan=False)
     print(line, flush=True)
     with open(ART, 'a') as f:
         f.write(line + '\n')

@@ -289,6 +289,18 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             raise ValueError("SparseDesignMatrix expects a scipy sparse "
                              "matrix; use DenseDesignMatrix otherwise.")
         dtype = np.dtype(dtype or default_float())
+        if backend in ('bitpack', 'winell') and dtype != np.float32:
+            # Fail BEFORE the expensive build (CSC conversion +
+            # packing costs ~10 min at the flagship shape): the
+            # compiled Pallas kernels behind these backends are
+            # 32-bit, so a forced pick in an x64 session would only
+            # die at the first matvec. The auto path already checks
+            # this (see the dtype gates below); the forced path must
+            # apply the same gate at construction time.
+            raise ValueError(
+                "backend='{}' requires dtype=np.float32 (its compiled "
+                "kernels are 32-bit); got {}. Pass dtype=np.float32 — "
+                "it works inside x64 sessions.".format(backend, dtype))
         X = self.remove_intercept_indicator(X.tocsr())
         X = X.tocsr()
         self._shape_main = X.shape

@@ -26,11 +26,26 @@ are grounded against hardware limits rather than only baseline-relative.
 """
 
 import json
+import math
 import os
 import sys
 import time
 
 import numpy as np
+
+
+def json_safe(rec):
+    """Non-finite floats -> None: a diverged chain's metrics (NaN
+    logp/ESS) must still print STRICT JSON — Python's default
+    serializer emits a bare `NaN` token that jq and non-Python
+    parsers reject. Shared by the baselines/ sweep scripts."""
+    if isinstance(rec, dict):
+        return {k: json_safe(v) for k, v in rec.items()}
+    if isinstance(rec, (list, tuple)):
+        return [json_safe(v) for v in rec]
+    if isinstance(rec, float) and not math.isfinite(rec):
+        return None
+    return rec
 
 # v5e (TPU v5 lite): 16 GiB HBM2 at ~819 GB/s per chip.
 _PEAK_HBM_GBPS = float(os.environ.get('BB_PEAK_HBM_GBPS', 819.0))
@@ -518,7 +533,7 @@ def main():
         # tracked headline alongside it (VERDICT r4 #5).
         'ess_per_sec': tpu_info['median_coef_ess_per_sec'],
     }
-    print(json.dumps(result), flush=True)
+    print(json.dumps(json_safe(result), allow_nan=False), flush=True)
 
     n_trace = int(os.environ.get('BB_BENCH_TRACE_ITER', 20))
     if n_trace > 0:
@@ -536,10 +551,10 @@ def main():
             tpu_info['multichain'] = {
                 'error': f'{type(e).__name__}: {str(e)[:120]}'}
 
-    print('# details:', json.dumps({
+    print('# details:', json.dumps(json_safe({
         'tpu': tpu_info, 'baseline_iters_per_sec': round(np_rate, 5),
         'baseline': np_info,
-    }), file=sys.stderr)
+    }), allow_nan=False), file=sys.stderr)
 
 
 if __name__ == '__main__':
