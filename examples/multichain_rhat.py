@@ -8,9 +8,13 @@ single-chain reference requires separate processes for.
     python -m examples.multichain_rhat
 """
 
+import os
+import sys
+
 import numpy as np
 
-from bayesbridge_tpu import (
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+from bayesbridge_tpu import (  # noqa: E402
     BayesBridge, RegressionModel, RegressionCoefPrior,
 )
 from bayesbridge_tpu.multichain import gibbs_chains, gibbs_chains_resume
