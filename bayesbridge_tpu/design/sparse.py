@@ -289,14 +289,20 @@ class SparseDesignMatrix(AbstractDesignMatrix):
             raise ValueError("SparseDesignMatrix expects a scipy sparse "
                              "matrix; use DenseDesignMatrix otherwise.")
         dtype = np.dtype(dtype or default_float())
-        if backend in ('bitpack', 'winell') and dtype != np.float32:
+        if backend in ('bitpack', 'winell') and dtype != np.float32 \
+                and jax.default_backend() == 'tpu':
             # Fail BEFORE the expensive build (CSC conversion +
             # packing costs ~10 min at the flagship shape): the
-            # compiled Pallas kernels behind these backends are
-            # 32-bit, so a forced pick in an x64 session would only
-            # die at the first matvec. The auto path already checks
-            # this (see the dtype gates below); the forced path must
-            # apply the same gate at construction time.
+            # COMPILED Pallas kernels behind these backends are
+            # 32-bit (Mosaic has no 64-bit vectors), so a forced pick
+            # in an x64 TPU session would only die at the first
+            # matvec. The gate matches the kernels' own dispatch
+            # (`interpret = jax.default_backend() != 'tpu'`, below):
+            # off-TPU the interpret-mode kernels run any dtype — the
+            # design-matrix suite exercises them in f64 — so only the
+            # compiled path is barred. The auto path already avoids
+            # these backends for non-f32 dtypes (see the dtype gates
+            # below).
             raise ValueError(
                 "backend='{}' requires dtype=np.float32 (its compiled "
                 "kernels are 32-bit); got {}. Pass dtype=np.float32 — "

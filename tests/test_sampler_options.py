@@ -89,16 +89,32 @@ def test_factory_backend_override_forces_storage():
     assert model.design.backend in ('hybrid', 'bitpack', 'winell', 'ell')
 
 
-def test_forced_32bit_backend_rejects_wide_dtype_before_the_build():
-    """The compiled bitpack/winell kernels are 32-bit; a forced pick
-    with a wider dtype must raise at CONSTRUCTION (design/sparse.py),
-    not after minutes of packing at production scale."""
+def test_forced_32bit_backend_rejects_wide_dtype_before_the_build(
+        monkeypatch):
+    """The COMPILED bitpack/winell Pallas kernels are 32-bit; a forced
+    pick with a wider dtype on a TPU session must raise at
+    CONSTRUCTION (design/sparse.py), not after minutes of packing at
+    production scale. Off-TPU the interpret-mode kernels run any
+    dtype, so the same construction must succeed there."""
+    import jax
+
+    import bayesbridge_tpu.design.sparse as sparse_mod
+
     X = simulate_design(60, 30, binary_frac=.9, format_='sparse', seed=9)
     outcome = simulate_outcome(X, np.zeros(30), 'logit', seed=10)
+
+    monkeypatch.setattr(sparse_mod.jax, 'default_backend',
+                        lambda: 'tpu')
     for backend in ('bitpack', 'winell'):
         with pytest.raises(ValueError, match='float32'):
             RegressionModel(outcome, X, family='logit',
                             dtype=np.float64, backend=backend)
+    monkeypatch.undo()
+
+    if jax.default_backend() != 'tpu':
+        model = RegressionModel(outcome, X, family='logit',
+                                dtype=np.float64, backend='bitpack')
+        assert model.design.backend == 'bitpack'
 
 
 def test_factory_backend_override_warns_for_dense():
